@@ -1,0 +1,167 @@
+"""Masked negative log marginal likelihood and posterior prediction.
+
+Ragged patients are padded to a fixed n_max and carried with a {0,1} mask.
+Padded rows/columns of the gram matrix are replaced by identity so a single
+batched Cholesky factorizes every patient in one fused XLA op:
+
+    K_masked = (m m^T) * K + diag(1 - m) + diag(m * noise)
+
+Padded entries then contribute log(1)=0 to the log-determinant and 0 to the
+quadratic form (y is masked to 0), which makes the masking exactly neutral.
+
+The Cholesky keeps the reference's jitter-escalation semantics: on failure the
+noise diagonal is added again, up to `max_retries` more times (reference:
+medgpc/src/inference/c_inference_exact.cpp:97-111). The retry search runs
+under `stop_gradient` (the chosen multiplier is a discrete decision); the
+differentiable path factorizes once at the chosen multiplier, so `jax.grad`
+of the NLML is exact for the factorization actually used.
+
+NLML = 1/2 y^T alpha + sum_i log L_ii + (sum m)/2 * log(2*pi)
+(reference: c_inference_exact.cpp:118-152).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+from medgp_tpu.models.params import REF_PI
+
+
+class CholResult(NamedTuple):
+    L: jnp.ndarray        # (n, n) lower Cholesky factor of the masked gram
+    ok: jnp.ndarray       # () bool: factorization succeeded
+    mult: jnp.ndarray     # () int32: noise-diagonal multiplier actually used
+
+
+def _chol_ok(L: jnp.ndarray) -> jnp.ndarray:
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    return jnp.all(jnp.isfinite(d) & (d > 0.0), axis=-1)
+
+
+def jittered_cholesky(
+    K: jnp.ndarray,
+    noise_diag: jnp.ndarray,
+    max_retries: int = 10,
+) -> CholResult:
+    """Cholesky of K + mult*diag(noise_diag), escalating mult on failure.
+
+    `K` must already contain the identity padding for masked-out rows;
+    `noise_diag` must already be masked (0 on padded entries).
+    Attempts mult = 1, 2, ..., 1 + max_retries; `ok` is False if all fail.
+    """
+    eye_scale = noise_diag
+
+    def find_mult(K_sg, noise_sg):
+        def attempt_sg(mult):
+            Kj = K_sg + jnp.diag(mult.astype(K_sg.dtype) * noise_sg)
+            return jnp.linalg.cholesky(Kj)
+
+        def cond(state):
+            mult, ok = state
+            return jnp.logical_and(~ok, mult <= max_retries)
+
+        def body(state):
+            mult, _ = state
+            mult = mult + 1
+            return mult, _chol_ok(attempt_sg(mult))
+
+        mult0 = jnp.asarray(1, jnp.int32)
+        ok0 = _chol_ok(attempt_sg(mult0))
+        mult, ok = lax.while_loop(cond, body, (mult0, ok0))
+        return mult, ok
+
+    mult, ok = find_mult(lax.stop_gradient(K), lax.stop_gradient(eye_scale))
+    # Differentiable factorization at the chosen multiplier. When every
+    # attempt failed, factorize the identity instead so neither the primal
+    # nor the cotangent of `cholesky` ever sees NaNs; the caller masks the
+    # result out via `ok`.
+    Kj = K + jnp.diag(mult.astype(K.dtype) * eye_scale)
+    Kj = jnp.where(ok, Kj, jnp.eye(K.shape[-1], dtype=K.dtype))
+    L = jnp.linalg.cholesky(Kj)
+    return CholResult(L=L, ok=ok, mult=mult)
+
+
+class NLMLResult(NamedTuple):
+    nlml: jnp.ndarray     # () scalar negative log marginal likelihood
+    ok: jnp.ndarray       # () bool success flag
+    L: jnp.ndarray        # (n, n) Cholesky factor
+    alpha: jnp.ndarray    # (n,) K^{-1} (y - mean)
+    mult: jnp.ndarray     # () jitter multiplier used
+
+
+def mask_gram(K: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero out padded rows/cols of K and put 1 on their diagonal."""
+    m2 = mask[..., :, None] * mask[..., None, :]
+    return K * m2 + jnp.diag(1.0 - mask)
+
+
+def masked_nlml(
+    K: jnp.ndarray,
+    y: jnp.ndarray,
+    noise_var: jnp.ndarray,
+    mask: jnp.ndarray,
+    mean: jnp.ndarray | None = None,
+    max_retries: int = 10,
+) -> NLMLResult:
+    """NLML of a padded patient.
+
+    K: (n, n) noiseless gram (unmasked); y: (n,) observations; noise_var: (n,)
+    per-observation Gaussian noise variance sigma^2_{meta_i}; mask: (n,) in
+    {0,1}; mean: optional (n,) prior mean (defaults to zero, like the
+    reference's c_meanfunc_zero).
+    """
+    dtype = K.dtype
+    mask = mask.astype(dtype)
+    y_eff = (y if mean is None else y - mean) * mask
+    noise_eff = noise_var * mask
+    Km = mask_gram(K, mask)
+    chol = jittered_cholesky(Km, noise_eff, max_retries=max_retries)
+    L = chol.L  # finite even on failure (identity fallback inside)
+    alpha = cho_solve((L, True), y_eff)
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+    quad = jnp.dot(y_eff, alpha)
+    n_eff = jnp.sum(mask)
+    nlml = 0.5 * quad + logdet + 0.5 * n_eff * jnp.log(2.0 * REF_PI)
+    # A failed factorization must not poison downstream reductions; report a
+    # finite sentinel and ok=False (caller decides; reference returns
+    # flag_success=false and skips, main_one_train.cpp:239-258).
+    nlml = jnp.where(chol.ok, nlml, jnp.asarray(jnp.inf, dtype))
+    return NLMLResult(nlml=nlml, ok=chol.ok, L=L, alpha=alpha, mult=chol.mult)
+
+
+class Posterior(NamedTuple):
+    mean: jnp.ndarray     # (m,) predictive mean
+    var: jnp.ndarray      # (m,) predictive variance (incl. observation noise)
+
+
+def predict(
+    L: jnp.ndarray,
+    alpha: jnp.ndarray,
+    Ks: jnp.ndarray,
+    kss_diag: jnp.ndarray,
+    noise_var_test: jnp.ndarray,
+    train_mask: jnp.ndarray,
+    mean_test: jnp.ndarray | None = None,
+) -> Posterior:
+    """GP posterior at test points from a trained (L, alpha).
+
+    Ks: (n, m) train-test cross gram; kss_diag: (m,) prior variance at test
+    points; noise_var_test: (m,) observation-noise variance at test points.
+
+    mean = mean_test + Ks^T alpha;
+    var  = kss - ||L^{-1} Ks||_col^2 + noise
+    (reference: medgpc/src/core/gp_regression.cpp:128-213 `predict`).
+    """
+    dtype = L.dtype
+    Ks = Ks * train_mask.astype(dtype)[..., :, None]
+    mu = Ks.T @ alpha
+    if mean_test is not None:
+        mu = mu + mean_test
+    V = solve_triangular(L, Ks, lower=True)
+    var = kss_diag - jnp.sum(V * V, axis=0) + noise_var_test
+    return Posterior(mean=mu, var=var)
