@@ -1,0 +1,156 @@
+"""Population mode-kernel estimation from clustered per-patient kernels.
+
+Re-implements the reference's KDE mode pipeline
+(medgpc/clustering/mode_estimate.py:242-435 `output_mode_LMC_SM`):
+
+  per output d:     mode of KDE over exp(theta_noise_d), weighted
+  per cluster q:    modes of KDE over mu and sqrt-v samples, weighted
+  per cluster q:    sum same-patient component B matrices, element-wise
+                    weighted KDE mode over patients -> mode B (symmetric)
+  SVD split:        mode-B = U S V^T; A = (U*sqrt(S))[:, :R];
+                    lambda = diag(B - A A^T) clamped to >= 1e-15
+  output:           flat mode theta with Q := number of clusters
+
+and the simpler SE / SM variants (mode_estimate.py:30-239), including their
+*unweighted* (argmax) mode rule and fixed evaluation grids.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from medgp_tpu.cluster.kde import kde_mode
+from medgp_tpu.models.params import LMCSMSpec, SESpec, SMSpec
+
+
+def mode_kernel_lmcsm(
+    spec: LMCSMSpec,
+    pans: np.ndarray,
+    hyps: np.ndarray,
+    comp_pan: np.ndarray,
+    comp_qidx: np.ndarray,
+    cluster_num: int,
+    cluster_assign: np.ndarray,
+) -> np.ndarray:
+    """Returns the flat mode theta for an LMCSMSpec(newQ, D, R) kernel."""
+    Q, D, R = spec.Q, spec.D, spec.R
+    P = hyps.shape[0]
+    newQ = int(cluster_num)
+    out = np.zeros(D + newQ * (D * R + 2 + D))
+
+    # noise modes (weighted; mode_estimate.py:267-279)
+    for d in range(D):
+        all_nu = np.exp(hyps[:, d])
+        out[d] = np.log(kde_mode(all_nu, weighted=True))
+
+    pan_index = {p: i for i, p in enumerate(pans)}
+    A_all = hyps[:, D : D + Q * D * R].reshape(P, Q, D, R)
+    mu_all = np.exp(hyps[:, D + Q * D * R : D + Q * D * R + Q])
+    vsr_all = np.exp(hyps[:, D + Q * (D * R + 1) : D + Q * (D * R + 2)])
+    kap_all = np.exp(hyps[:, D + Q * (D * R + 2) :]).reshape(P, Q, D)
+
+    cluster_ids = np.unique(cluster_assign)
+    assert len(cluster_ids) == newQ, (cluster_ids, newQ)
+
+    for q, cid in enumerate(cluster_ids):
+        sel = np.nonzero(cluster_assign == cid)[0]
+        assert len(sel) > 0
+        rows = np.asarray([pan_index[p] for p in comp_pan[sel]])
+        qs = comp_qidx[sel]
+
+        mode_mu = kde_mode(mu_all[rows, qs], weighted=True)
+        out[D + newQ * D * R + q] = np.log(mode_mu)
+        mode_vsr = kde_mode(vsr_all[rows, qs], weighted=True)
+        out[D + newQ * (D * R + 1) + q] = np.log(mode_vsr)
+
+        # per-patient summed B over this cluster's components
+        # (mode_estimate.py:352-383)
+        upans = np.unique(comp_pan[sel])
+        all_B = np.zeros((len(upans), D, D))
+        for bi, pan in enumerate(upans):
+            pidx = pan_index[pan]
+            for qq in qs[comp_pan[sel] == pan]:
+                A = A_all[pidx, qq]
+                all_B[bi] += A @ A.T + np.diag(kap_all[pidx, qq])
+
+        kde_B = np.zeros((D, D))
+        for d1 in range(D):
+            for d2 in range(d1, D):
+                m = kde_mode(all_B[:, d1, d2], weighted=True)
+                kde_B[d1, d2] = kde_B[d2, d1] = m
+
+        # SVD re-factorization (mode_estimate.py:411-420)
+        U, S, _ = np.linalg.svd(kde_B)
+        A_ = (U * np.sqrt(np.maximum(S, 0.0)))[:, :R]
+        lam = np.diag(kde_B - A_ @ A_.T).copy()
+        lam[lam <= 0.0] = 1e-15
+        out[D + newQ * (D * R + 2) + q * D : D + newQ * (D * R + 2) + (q + 1) * D] = np.log(lam)
+        out[D + q * D * R : D + (q + 1) * D * R] = A_.reshape(-1)
+
+    return out
+
+
+def mode_kernel_se(pans: np.ndarray, hyps: np.ndarray) -> np.ndarray:
+    """SE mode (mode_estimate.py:30-79): unweighted argmax modes; the
+    lengthscale uses a fixed linspace(0.01, 1000, 100001) evaluation grid."""
+    out = np.zeros(hyps.shape[1])
+    for i in range(hyps.shape[1]):
+        all_h = np.exp(hyps[:, i])
+        if i == 1:  # lengthscale
+            grid = np.linspace(0.01, 1000.0, 100001)
+            out[i] = np.log(kde_mode(all_h, weighted=False, eval_points=grid))
+        else:
+            out[i] = np.log(kde_mode(all_h, weighted=False))
+    return out
+
+
+def mode_kernel_sm(
+    spec: SMSpec,
+    pans: np.ndarray,
+    hyps: np.ndarray,
+    comp_pan: np.ndarray,
+    comp_qidx: np.ndarray,
+    cluster_num: int,
+    cluster_assign: np.ndarray,
+) -> np.ndarray:
+    """SM mode (mode_estimate.py:82-239): unweighted modes; mu/v evaluated on
+    reciprocal grids of linspace(0.01, 1000, 100001); per-patient weights
+    summed within a cluster before the KDE."""
+    Q = spec.Q
+    newQ = int(cluster_num)
+    out = np.zeros(1 + 3 * newQ)
+    out[0] = np.log(kde_mode(np.exp(hyps[:, 0]), weighted=False))
+
+    pan_index = {p: i for i, p in enumerate(pans)}
+    cluster_ids = np.unique(cluster_assign)
+    grid = np.linspace(0.01, 1000.0, 100001)
+
+    for q, cid in enumerate(cluster_ids):
+        sel = np.nonzero(cluster_assign == cid)[0]
+        rows = np.asarray([pan_index[p] for p in comp_pan[sel]])
+        qs = comp_qidx[sel]
+
+        all_mu = np.exp(hyps[rows, 1 + Q + qs])
+        out[1 + newQ + q] = np.log(
+            kde_mode(all_mu, weighted=False, eval_points=1.0 / grid)
+        )
+        all_vsr = np.exp(hyps[rows, 1 + 2 * Q + qs])
+        out[1 + 2 * newQ + q] = np.log(
+            kde_mode(
+                all_vsr, weighted=False,
+                eval_points=1.0 / (2.0 * np.pi * grid),
+            )
+        )
+
+        ws = []
+        for pan in np.unique(comp_pan[sel]):
+            pidx = pan_index[pan]
+            w = sum(
+                np.exp(hyps[pidx, 1 + qq])
+                for qq in qs[comp_pan[sel] == pan]
+            )
+            ws.append(w)
+        out[1 + q] = np.log(kde_mode(np.asarray(ws), weighted=False))
+    return out

@@ -1,0 +1,124 @@
+"""Cohort assembly: ragged patients -> fixed-shape padded batches.
+
+The reference sizes one Slurm job per patient with 5 resource tiers keyed by
+observation count (scripts/slurm_della.json; run_exp_generator.py:213-263).
+The TPU equivalent is *bucketing*: patients are grouped by padded length so
+each bucket compiles once and vmaps/shard_maps as a dense (B, n_max) batch,
+and cost-balanced over devices (the reference's tier table becomes a
+bin-packing shard assigner in :mod:`medgp_tpu.parallel.bucketing`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+
+from medgp_tpu.data import formats
+
+
+@dataclasses.dataclass
+class PatientRecord:
+    """Host-side (numpy, ragged) observations of one patient."""
+
+    pan: str
+    t: np.ndarray     # (n,) float32
+    y: np.ndarray     # (n,) float32 (normalized)
+    meta: np.ndarray  # (n,) int32
+
+    @property
+    def n_obs(self) -> int:
+        return len(self.t)
+
+
+@dataclasses.dataclass
+class PaddedBatch:
+    """A dense bucket of patients, ready to become a device array batch."""
+
+    pans: List[str]
+    t: np.ndarray     # (B, n_max) float32
+    y: np.ndarray     # (B, n_max) float32
+    meta: np.ndarray  # (B, n_max) int32
+    mask: np.ndarray  # (B, n_max) float32
+    n_max: int
+
+    def __len__(self) -> int:
+        return len(self.pans)
+
+
+def load_cohort(
+    data_dir: str,
+    pans: Sequence[str],
+    feature_index: Sequence[int],
+) -> List[PatientRecord]:
+    recs = []
+    for pan in pans:
+        t, y, meta = formats.load_patient(data_dir, str(pan), feature_index)
+        recs.append(PatientRecord(pan=str(pan), t=t, y=y, meta=meta))
+    return recs
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def bucket_edges(ns: Sequence[int], multiple: int = 128, growth: float = 2.0):
+    """Padded-length buckets: powers of `growth` times `multiple`, covering
+    max(ns). Keeps the number of distinct compiled shapes logarithmic."""
+    top = max(max(ns), 1)
+    edges = []
+    e = multiple
+    while e < top:
+        edges.append(e)
+        e = int(e * growth)
+    edges.append(_round_up(top, multiple))
+    return edges
+
+
+def pack_patients(
+    records: Sequence[PatientRecord],
+    multiple: int = 128,
+    growth: float = 2.0,
+    max_batch: int | None = None,
+) -> List[PaddedBatch]:
+    """Group patients into padded batches by bucketed length.
+
+    Patients keep their identity (pans list); padding entries have mask 0,
+    meta 0, t 0, y 0 — exactly neutral in the masked NLML.
+    """
+    if not records:
+        return []
+    edges = bucket_edges([r.n_obs for r in records], multiple, growth)
+    buckets: dict[int, list[PatientRecord]] = {}
+    for r in records:
+        for e in edges:
+            if r.n_obs <= e:
+                buckets.setdefault(e, []).append(r)
+                break
+
+    batches = []
+    for n_max in sorted(buckets):
+        group = buckets[n_max]
+        chunks = [group] if max_batch is None else [
+            group[i : i + max_batch] for i in range(0, len(group), max_batch)
+        ]
+        for chunk in chunks:
+            B = len(chunk)
+            t = np.zeros((B, n_max), np.float32)
+            y = np.zeros((B, n_max), np.float32)
+            meta = np.zeros((B, n_max), np.int32)
+            mask = np.zeros((B, n_max), np.float32)
+            for i, r in enumerate(chunk):
+                n = r.n_obs
+                t[i, :n] = r.t
+                y[i, :n] = r.y
+                meta[i, :n] = r.meta
+                mask[i, :n] = 1.0
+            batches.append(
+                PaddedBatch(
+                    pans=[r.pan for r in chunk],
+                    t=t, y=y, meta=meta, mask=mask, n_max=n_max,
+                )
+            )
+    return batches
