@@ -52,15 +52,25 @@ def screen_inits(
     data: PatientData,
     thetas: jnp.ndarray,
     max_retries: int = 10,
+    chunk: int = 32,
 ) -> ScreenResult:
-    """Evaluate all restarts' NLML in one batched call; keep the argmin."""
+    """Evaluate all restarts' NLML batched; keep the argmin.
+
+    Restarts are evaluated in vmapped chunks of `chunk` (a `lax.map`
+    batch) so the peak gram memory is chunk * n^2 instead of S * n^2 —
+    1000-restart screens on n~10^4 patients stay inside HBM.
+    """
+    from jax import lax
+
     loss = nlml_fn(spec, data, max_retries=max_retries)
 
     def one(theta):
         v, res = loss(theta)
         return v, res.ok
 
-    values, oks = jax.vmap(one)(thetas)
+    values, oks = lax.map(
+        one, thetas, batch_size=min(chunk, thetas.shape[0])
+    )
     values = jnp.where(oks, values, jnp.inf)
     best = jnp.argmin(values)
     return ScreenResult(

@@ -1,0 +1,243 @@
+"""Cohort-level execution: batched training and testing over padded buckets.
+
+This is the single-host engine replacing the reference's one-Slurm-job-per-
+patient fan-out (run_exp_generator.py:213-263): each padded bucket of
+patients runs as ONE jitted, vmapped program; buckets reuse compiled
+executables across equal shapes. The multi-chip variants in
+:mod:`medgp_tpu.parallel.mesh` shard the same batch axis over a device mesh.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medgp_tpu.config.experiment import ExperimentConfig
+from medgp_tpu.data import formats
+from medgp_tpu.data.cohort import PaddedBatch, PatientRecord, pack_patients
+from medgp_tpu.data.inits import random_inits
+from medgp_tpu.infer.map_train import train_one_patient
+from medgp_tpu.infer.online import online_impute, unique_times
+from medgp_tpu.models.gp import PatientData
+from medgp_tpu.models.params import LMCSMSpec
+from medgp_tpu.models.priors import clamp_a_elements, empty_prior
+
+log = logging.getLogger("medgp_tpu")
+
+
+def _batch_data(b: PaddedBatch) -> PatientData:
+    return PatientData(
+        t=jnp.asarray(b.t),
+        y=jnp.asarray(b.y),
+        meta=jnp.asarray(b.meta),
+        mask=jnp.asarray(b.mask),
+    )
+
+
+# --------------------------------------------------------------------------
+# training
+# --------------------------------------------------------------------------
+
+def train_cohort(
+    cfg: ExperimentConfig,
+    records: Sequence[PatientRecord],
+    n_restarts: Optional[int] = None,
+    write: bool = True,
+    max_batch: int = 64,
+    screen_chunk: int = 32,
+) -> Dict[str, dict]:
+    """Train every patient; returns {pan: result dict} and optionally writes
+    the reference train artifacts.
+
+    The restart set is shared by all patients, matching the reference where
+    every per-patient process seeds `srand(random_seed)` identically and
+    generates the same init sequence (c_experiment.cpp:418-441).
+    """
+    spec = cfg.spec()
+    bounds = cfg.bounds()
+    S = n_restarts or cfg.random_init_num
+    inits = random_inits(jax.random.key(cfg.random_seed), spec, bounds, S)
+
+    batches = pack_patients(records, max_batch=max_batch)
+    train_kwargs = dict(
+        prior_mode=cfg.prior_index,
+        eta=cfg.eta,
+        beta_lam=cfg.beta_lam,
+        top_iters=cfg.top_iteration_num,
+        sub_opt_iter=cfg.iteration_num_per_update,
+    )
+
+    @partial(jax.jit, static_argnames=())
+    def run_batch(data: PatientData):
+        def one(t, y, meta, mask):
+            return train_one_patient(
+                spec,
+                PatientData(t=t, y=y, meta=meta, mask=mask),
+                inits,
+                **train_kwargs,
+            )
+
+        return jax.vmap(one)(data.t, data.y, data.meta, data.mask)
+
+    out: Dict[str, dict] = {}
+    for b in batches:
+        t0 = time.time()
+        res = jax.block_until_ready(run_batch(_batch_data(b)))
+        dt = time.time() - t0
+        log.info(
+            "trained bucket n_max=%d B=%d in %.1fs (%.2f patients/s)",
+            b.n_max, len(b), dt, len(b) / dt,
+        )
+        theta = np.asarray(res.theta, np.float64)
+        init_theta = np.asarray(res.init_theta, np.float64)
+        flags = np.asarray(res.flag)
+        losses = np.asarray(res.loss, np.float64)
+        nobs = np.asarray(res.n_obs)
+        var_flat = (
+            np.concatenate(
+                [
+                    np.asarray(res.var_state.psi).reshape(len(b), -1),
+                    np.asarray(res.var_state.delta).reshape(len(b), -1),
+                    np.asarray(res.var_state.phi).reshape(len(b), -1),
+                    np.asarray(res.var_state.tau).reshape(len(b), -1),
+                ],
+                axis=1,
+            ).astype(np.float64)
+            if cfg.prior_index == 2
+            else None
+        )
+        for i, pan in enumerate(b.pans):
+            out[pan] = dict(
+                theta=theta[i],
+                init_theta=init_theta[i],
+                flag=bool(flags[i]),
+                loss=float(losses[i]),
+                n_obs=int(nobs[i]),
+                var_state=None if var_flat is None else var_flat[i],
+            )
+            if write:
+                formats.write_train_result(
+                    cfg.exp_train_dir, pan,
+                    theta[i], init_theta[i],
+                    None if var_flat is None else var_flat[i],
+                    bool(flags[i]), int(nobs[i]),
+                )
+    return out
+
+
+# --------------------------------------------------------------------------
+# testing
+# --------------------------------------------------------------------------
+
+def _test_prior(spec, mode_theta: np.ndarray):
+    """Clamp A-elements that are exactly zero in the mode kernel
+    (c_prior.cpp:118-140 `init_test_prior`; LMC-SM only)."""
+    prior = empty_prior(spec.n_hyp)
+    if isinstance(spec, LMCSMSpec):
+        nl = spec.n_lik
+        a = mode_theta[nl : nl + spec.Q * spec.D * spec.R]
+        prior = clamp_a_elements(prior, spec, jnp.asarray(a == 0.0))
+    return prior
+
+
+def obs_output_order(t: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Flattening order for test outputs: unique timestamps ascending, stable
+    original order within a timestamp (matches the reference's tt/jj loops,
+    main_one_test.cpp:269-443)."""
+    valid = np.nonzero(np.asarray(mask) > 0)[0]
+    order = valid[np.argsort(np.asarray(t)[valid], kind="stable")]
+    return order
+
+
+def test_cohort(
+    cfg: ExperimentConfig,
+    records: Sequence[PatientRecord],
+    folds: Optional[np.ndarray] = None,
+    kernclust_alg: str = "gmm",
+    write: bool = True,
+    modes=("mean_wo_update", "mean_w_update"),
+    map_batch_size: int = 8,
+) -> Dict[str, dict]:
+    """Online imputation for every patient with the fold's mode kernel.
+
+    `folds[i]` selects kernel/fold{f}/ for records[i] (the patient's held-out
+    fold, run_exp_generator.py:237-239); None uses fold -1 ("all").
+    """
+    feature_list = cfg.feature_list
+    out: Dict[str, dict] = {}
+
+    # group patients by fold: each fold has its own mode kernel (and possibly
+    # its own clustered Q, i.e. its own spec/compiled program)
+    folds = (
+        np.full(len(records), -1, int) if folds is None else np.asarray(folds)
+    )
+    for fold in np.unique(folds):
+        mode_theta, newQ = formats.read_mode_kernel(
+            cfg.exp_kernel_dir, int(fold), kernclust_alg
+        )
+        spec = cfg.test_spec(newQ)
+        prior = _test_prior(spec, mode_theta)
+        theta = jnp.asarray(mode_theta, jnp.float32)
+
+        sel = [r for r, f in zip(records, folds) if f == fold]
+        for rec in sel:
+            n = rec.n_obs
+            res_by_mode = {}
+            if n == 0:
+                for m in modes:
+                    res_by_mode[m] = None
+            else:
+                data = PatientData(
+                    t=jnp.asarray(rec.t),
+                    y=jnp.asarray(rec.y),
+                    meta=jnp.asarray(rec.meta),
+                    mask=jnp.ones(n, jnp.float32),
+                )
+                u_t, u_ok = unique_times(rec.t, np.ones(n))
+                for m in modes:
+                    res = online_impute(
+                        spec, theta, data,
+                        jnp.asarray(u_t), jnp.asarray(u_ok),
+                        update=(m == "mean_w_update"),
+                        prior=prior,
+                        learn_rate=cfg.online_learn_rate,
+                        momentum=cfg.online_momentum,
+                        map_batch_size=map_batch_size,
+                    )
+                    res_by_mode[m] = jax.block_until_ready(res)
+
+            order = obs_output_order(rec.t, np.ones(max(n, 1))[:n])
+            entry = {}
+            for m, res in res_by_mode.items():
+                if res is None:
+                    entry[m] = dict(flag=False)
+                    if write:
+                        formats.write_test_result(
+                            cfg.exp_test_dir, m, rec.pan,
+                            np.zeros(0, int), np.zeros(0), np.zeros(0),
+                            np.zeros(0, int), np.zeros(0), flag=False,
+                        )
+                    continue
+                pred = np.asarray(res.pred, np.float64)[order]
+                err = np.asarray(res.error, np.float64)[order]
+                ci = np.asarray(res.ci)[order]
+                feat = np.asarray(
+                    [feature_list[j] for j in rec.meta[order]], int
+                )
+                etime = np.zeros(len(order))
+                entry[m] = dict(
+                    flag=True, pred=pred, error=err, ci=ci, feature=feat
+                )
+                if write:
+                    formats.write_test_result(
+                        cfg.exp_test_dir, m, rec.pan,
+                        feat, pred, err, ci, etime, flag=True,
+                    )
+            out[rec.pan] = entry
+    return out

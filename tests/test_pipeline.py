@@ -1,0 +1,110 @@
+"""End-to-end pipeline: generate -> train -> kernclust -> test -> eval on a
+small synthetic cohort, through the same code paths as the CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from medgp_tpu.config.experiment import ExperimentConfig, generate_experiment
+from medgp_tpu.data.synthetic import sample_cohort, write_reference_format_cohort
+from medgp_tpu.models.params import LMCSMSpec
+
+
+@pytest.fixture(scope="module")
+def synth_experiment(tmp_path_factory):
+    root = tmp_path_factory.mktemp("exp")
+    data_root = str(root / "cohort")
+    exp_root = str(root / "experiment")
+    spec = LMCSMSpec(2, 2, 1)
+    fidx = [18, 19]
+    records = sample_cohort(
+        3, spec, n_patients=8, n_clusters=1, n_obs_range=(24, 60)
+    )
+    cohort_dir = os.path.join(data_root, "synth")
+    write_reference_format_cohort(cohort_dir, records, fidx)
+    cfg = generate_experiment(
+        data_root=data_root,
+        exp_root=exp_root,
+        cohort="synth",
+        feature_list=fidx,
+        kernel="LMC-SM",
+        prior="hier-gamma",
+        Q=2, R=1, eta=0.01, beta_lam=0.01,
+        cv_fold_num=2, cv_seed=718,
+        opt_config=dict(random_init_num=8, top_iteration_num=4,
+                        iteration_num_per_update=10),
+    )
+    return cfg, records, fidx
+
+
+def test_generate_layout(synth_experiment):
+    cfg, records, fidx = synth_experiment
+    assert os.path.exists(os.path.join(cfg.exp_cfg_dir, "exp_setup.json"))
+    assert os.path.exists(os.path.join(cfg.exp_cfg_dir, "hyp_bound.txt"))
+    assert os.path.exists(cfg.cv_assign_file)
+    # round-trip through JSON keeps the key contract
+    cfg2 = ExperimentConfig.from_json(
+        os.path.join(cfg.exp_cfg_dir, "exp_setup.json")
+    )
+    assert cfg2.kernel_index == 7 and cfg2.D == 2 and cfg2.Q == 2
+    assert cfg2.feature_list == fidx
+    assert len(cfg2.pans()) == 8
+    cv = cfg2.cv_assign()
+    assert len(cv) == 8 and set(np.unique(cv)) <= {0, 1}
+
+
+def test_full_pipeline(synth_experiment):
+    cfg, records, fidx = synth_experiment
+    from medgp_tpu.data.cohort import load_cohort
+    from medgp_tpu.parallel.runner import train_cohort, test_cohort
+    from medgp_tpu.cluster.pipeline import kernel_clustering_fold
+    from medgp_tpu.evaluation.evals import eval_cohort, summarize
+
+    recs = load_cohort(cfg.data_dir, cfg.pans(), cfg.feature_list)
+    out = train_cohort(cfg, recs, n_restarts=8)
+    flags = [r["flag"] for r in out.values()]
+    assert sum(flags) == len(recs), "all synthetic patients must train"
+    # artifacts exist and are flag-readable
+    from medgp_tpu.data import formats
+    pans, hyps = formats.read_train_kernels(cfg.exp_train_dir, cfg.pans())
+    assert len(pans) == len(recs)
+    assert hyps.shape[1] == cfg.spec().n_hyp
+
+    cv = cfg.cv_assign()
+    for fold in (-1, 0, 1):
+        mode_theta, newQ = kernel_clustering_fold(
+            cfg.spec(), cfg.exp_train_dir, cfg.exp_kernel_dir,
+            cfg.pans(), cv, fold, algorithm="gmm", seed=0,
+        )
+        assert 1 <= newQ <= cfg.Q
+        assert len(mode_theta) == cfg.D + newQ * (
+            cfg.D * cfg.R + 2 + cfg.D
+        )
+
+    folds = np.asarray([cv[i] for i in range(len(recs))])
+    tres = test_cohort(cfg, recs, folds=folds, kernclust_alg="gmm")
+    assert len(tres) == len(recs)
+    for pan, entry in tres.items():
+        assert entry["mean_wo_update"]["flag"]
+        n_out = len(entry["mean_wo_update"]["pred"])
+        rec = next(r for r in recs if r.pan == pan)
+        assert n_out == rec.n_obs
+
+    summary = {}
+    for mode in ("mean_wo_update", "mean_w_update"):
+        res = eval_cohort(
+            cfg.data_dir, cfg.exp_test_dir, mode, cfg.feature_list,
+            cfg.pans(),
+        )
+        s = summarize(res)
+        summary[mode] = s
+        assert np.isfinite(s["mae"]) and s["mae"] < 5.0
+        assert 0.0 <= s["ci_ratio"] <= 100.0
+    # per-feature artifacts written
+    assert os.path.exists(
+        os.path.join(
+            cfg.exp_test_dir, "test_mean_wo_update_feature18_mae.bin"
+        )
+    )
