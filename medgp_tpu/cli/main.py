@@ -35,8 +35,13 @@ def _load_cfg(path):
 
 def _load_records(cfg, pans=None):
     from medgp_tpu.data.cohort import load_cohort
+    from medgp_tpu.runtime import bindings
 
     pans = pans if pans is not None else cfg.pans()
+    if bindings.native_available():
+        return bindings.load_cohort_native(
+            cfg.data_dir, pans, cfg.feature_list
+        )
     return load_cohort(cfg.data_dir, pans, cfg.feature_list)
 
 
