@@ -42,9 +42,26 @@ class PatientData(NamedTuple):
         return jnp.sum(self.mask)
 
 
+def use_pallas_gram() -> bool:
+    """Fused Pallas gram on TPU (1.6x the XLA builder at n=1024); override
+    with MEDGP_PALLAS_GRAM=0/1."""
+    import os
+
+    env = os.environ.get("MEDGP_PALLAS_GRAM")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
 def noiseless_gram(spec: KernelSpec, theta: jnp.ndarray, data: PatientData):
     p = spec.unpack(theta)
     if isinstance(spec, LMCSMSpec):
+        if use_pallas_gram():
+            from medgp_tpu.ops.pallas_gram import gram_lmcsm_fused
+
+            return gram_lmcsm_fused(
+                spec, data.t, data.meta, p["A"], p["mu"], p["v"], p["kappa"]
+            )
         return gram_lmcsm(
             spec, data.t, data.meta, p["A"], p["mu"], p["v"], p["kappa"]
         )

@@ -1,0 +1,78 @@
+"""Fused Pallas gram kernel vs the XLA builder (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from medgp_tpu.models.params import LMCSMSpec
+from medgp_tpu.ops.gram import gram_lmcsm
+from medgp_tpu.ops.pallas_gram import gram_lmcsm_fused, pallas_supported
+from tests.test_kernels import random_lmcsm_params
+
+
+def _case(rng, Q, D, R, n):
+    spec = LMCSMSpec(Q, D, R)
+    t = np.sort(rng.uniform(0, 72, size=n)).astype(np.float32)
+    meta = rng.integers(0, D, size=n).astype(np.int32)
+    A, mu, v, kappa = random_lmcsm_params(rng, Q, D, R)
+    args = (
+        jnp.asarray(t), jnp.asarray(meta),
+        jnp.asarray(A, jnp.float32), jnp.asarray(mu, jnp.float32),
+        jnp.asarray(v, jnp.float32), jnp.asarray(kappa, jnp.float32),
+    )
+    return spec, args
+
+
+def test_fused_matches_xla(rng):
+    spec, args = _case(rng, Q=3, D=4, R=2, n=256)
+    assert pallas_supported(256)
+    K_fused = gram_lmcsm_fused(spec, *args)
+    K_xla = gram_lmcsm(spec, *args)
+    np.testing.assert_allclose(
+        np.asarray(K_fused), np.asarray(K_xla), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_fallback_for_odd_n(rng):
+    spec, args = _case(rng, Q=2, D=3, R=1, n=100)
+    assert not pallas_supported(100)
+    K = gram_lmcsm_fused(spec, *args)
+    K_xla = gram_lmcsm(spec, *args)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_xla), atol=1e-6)
+
+
+def test_fused_gradients_match_xla(rng):
+    """Custom-VJP hyper gradients vs autodiff through the XLA builder."""
+    spec, args = _case(rng, Q=2, D=3, R=2, n=128)
+    t, meta, A, mu, v, kappa = args
+    w = jnp.asarray(
+        np.random.default_rng(0).normal(size=(128, 128)), jnp.float32
+    )
+    w = 0.5 * (w + w.T)
+
+    def loss_fused(A, mu, v, kappa):
+        return jnp.sum(w * gram_lmcsm_fused(spec, t, meta, A, mu, v, kappa))
+
+    def loss_xla(A, mu, v, kappa):
+        return jnp.sum(w * gram_lmcsm(spec, t, meta, A, mu, v, kappa))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(A, mu, v, kappa)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(A, mu, v, kappa)
+    for gf, gx, name in zip(g_fused, g_xla, ["A", "mu", "v", "kappa"]):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3,
+            err_msg=name,
+        )
+
+
+def test_fused_vmaps(rng):
+    spec, args = _case(rng, Q=2, D=2, R=1, n=128)
+    t, meta, A, mu, v, kappa = args
+    As = jnp.stack([A, A * 0.5])
+    Ks = jax.vmap(
+        lambda a: gram_lmcsm_fused(spec, t, meta, a, mu, v, kappa)
+    )(As)
+    assert Ks.shape == (2, 128, 128)
+    K0 = gram_lmcsm_fused(spec, t, meta, A, mu, v, kappa)
+    np.testing.assert_allclose(np.asarray(Ks[0]), np.asarray(K0), atol=1e-5)
