@@ -1,0 +1,173 @@
+"""Auxiliary subsystems: ETL, checkpointing, metrics, profiling, printkernel,
+visualization, launch helpers."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from medgp_tpu.data import formats
+from medgp_tpu.data.mimic_etl import (
+    ALL_FEATURE_IDS,
+    LAB_ITEMS,
+    VITAL_BOUNDS,
+    VITAL_ITEMS,
+    extract_cohort,
+    select_heart_failure_admissions,
+)
+from medgp_tpu.models.params import LMCSMSpec, SESpec, SMSpec
+from medgp_tpu.utils.checkpoints import CohortCheckpointer
+from medgp_tpu.utils.metrics import MetricsWriter
+from medgp_tpu.utils.profiling import predict_train_cost
+from medgp_tpu.visualization.printkernel import kernel_summary, print_kernel_info
+
+
+def _synthetic_mimic(rng, n_adm=4):
+    """Tiny fake MIMIC tables exercising every ETL rule."""
+    hadms = list(range(100, 100 + n_adm))
+    diagnoses = pd.DataFrame(
+        dict(
+            HADM_ID=hadms + [999],
+            ICD9_CODE=["4280"] * n_adm + ["401"],  # 999 is not heart failure
+        )
+    )
+    admissions = pd.DataFrame(
+        dict(
+            HADM_ID=hadms + [999],
+            ADMITTIME=["2001-01-01 00:00:00"] * (n_adm + 1),
+            DISCHARGE_LOCATION=["HOME"] * (n_adm - 1)
+            + ["DEAD/EXPIRED", "HOME"],  # last real hadm died -> excluded
+            HAS_CHARTEVENTS_DATA=[1] * (n_adm + 1),
+        )
+    )
+
+    rows = []
+    for hadm in hadms[: n_adm - 1]:
+        for (idx, name, item), (lb, ub) in zip(VITAL_ITEMS, VITAL_BOUNDS):
+            for k in range(8):
+                val = (lb if lb else 0.0) + 0.5 * (ub - (lb or 0.0)) + 0.01 * k
+                rows.append((hadm, item, f"2001-01-01 {k+1:02d}:00:00", val))
+            rows.append((hadm, item, "2001-01-01 10:00:00", ub + 1000.0))  # QC'd out
+    chart = pd.DataFrame(
+        rows, columns=["HADM_ID", "ITEMID", "CHARTTIME", "VALUENUM"]
+    )
+
+    rows = []
+    for hadm in hadms[: n_adm - 1]:
+        for idx, name, item in LAB_ITEMS:
+            for k in range(6):
+                rows.append((hadm, item, f"2001-01-01 {k+2:02d}:30:00", 10.0 + k))
+            rows.append((hadm, item, "2001-01-01 09:30:00", -5.0))  # QC'd out
+    lab = pd.DataFrame(
+        rows, columns=["HADM_ID", "ITEMID", "CHARTTIME", "VALUENUM"]
+    )
+    return diagnoses, admissions, chart, lab, hadms
+
+
+def test_etl_selection_rules(rng):
+    diagnoses, admissions, chart, lab, hadms = _synthetic_mimic(rng)
+    sel = select_heart_failure_admissions(diagnoses, admissions)
+    assert 999 not in sel           # not ICD-9 428*
+    assert hadms[-1] not in sel     # died
+
+
+def test_etl_end_to_end(tmp_path, rng):
+    diagnoses, admissions, chart, lab, hadms = _synthetic_mimic(rng)
+    pans = extract_cohort(diagnoses, admissions, chart, lab, str(tmp_path))
+    assert pans == [f"hadm_{h}" for h in hadms[:-1]]
+    # id list + stats + feature files exist, QC'd values excluded
+    ids = open(tmp_path / "cohort_hadm_match.txt").read().split()
+    assert ids == pans
+    for fidx in ALL_FEATURE_IDS:
+        assert os.path.exists(tmp_path / f"feature{fidx}_stat.bin")
+    t, v = formats.read_feature_txt(
+        str(tmp_path / pans[0] / "feature0.txt")
+    )
+    assert len(t) == 8  # the out-of-bounds draw was QC'd away
+    assert np.all(v <= VITAL_BOUNDS[0][1])
+    assert np.all(t > 0)
+    # loadable by the standard cohort loader
+    from medgp_tpu.data.cohort import load_cohort
+
+    recs = load_cohort(str(tmp_path), pans, ALL_FEATURE_IDS)
+    assert all(r.n_obs == 8 * 4 + 6 * 20 for r in recs)
+
+
+def test_checkpointer_roundtrip(tmp_path, rng):
+    ck = CohortCheckpointer(str(tmp_path / "ckpt"))
+    state = dict(theta=rng.normal(size=(4, 10)), flag=np.asarray([1, 0, 1, 1]))
+    ck.save_bucket(0, state)
+    ck.save_bucket(2, state)
+    assert ck.completed_buckets() == [0, 2]
+    back = ck.load_bucket(0)
+    np.testing.assert_allclose(back["theta"], state["theta"])
+    assert ck.load_bucket(1) is None
+
+
+def test_metrics_writer(tmp_path):
+    p = str(tmp_path / "metrics.jsonl")
+    w = MetricsWriter(p, run_id="test")
+    w.write("train", patients_per_sec=3.5, nlml=[1.0, 2.0, 3.0])
+    w.write("eval", mae=0.5)
+    lines = [json.loads(l) for l in open(p)]
+    assert len(lines) == 2
+    assert lines[0]["stage"] == "train"
+    assert lines[0]["nlml_mean"] == pytest.approx(2.0)
+    assert lines[1]["mae"] == 0.5
+
+
+def test_cost_model_monotone():
+    c1 = predict_train_cost(500, 1000, 1400)
+    c2 = predict_train_cost(2000, 1000, 1400)
+    assert c2 > 30 * c1  # ~n^3 growth
+
+
+def test_kernel_summary_all_kernels(rng):
+    spec = LMCSMSpec(2, 3, 2)
+    rows = kernel_summary(spec, rng.normal(size=spec.n_hyp))
+    assert len(rows) == 2 and "period" in rows[0] and "B_max" in rows[0]
+    rows = kernel_summary(SMSpec(3), rng.normal(size=SMSpec(3).n_hyp))
+    assert len(rows) == 3 and "weight" in rows[0]
+    rows = kernel_summary(SESpec(), rng.normal(size=3))
+    assert rows[0]["lengthscale"] > 0
+    print_kernel_info(spec, rng.normal(size=spec.n_hyp))  # smoke
+
+
+def test_vizkernel_outputs(tmp_path, rng):
+    from medgp_tpu.visualization import vizkernel as vz
+
+    if not vz._HAS_MPL:
+        pytest.skip("matplotlib unavailable")
+    p = vz.plot_kde_hist(rng.normal(size=100), str(tmp_path), "kde_test")
+    assert p and os.path.exists(p)
+    p = vz.plot_cluster_scatter(
+        rng.uniform(10, 100, 30), rng.uniform(5, 80, 30),
+        rng.integers(0, 2, 30), str(tmp_path),
+    )
+    assert p and os.path.exists(p)
+    spec = LMCSMSpec(2, 3, 1)
+    paths = vz.plot_lmcsm_kernel(
+        spec, rng.normal(size=spec.n_hyp), str(tmp_path)
+    )
+    assert len(paths) == 2 and all(os.path.exists(x) for x in paths)
+
+
+def test_launch_helpers(tmp_path):
+    from medgp_tpu.parallel.launch import host_shard, write_slurm_launcher
+
+    pans = [f"p{i}" for i in range(10)]
+    costs = [(i + 1) ** 3 for i in range(10)]
+    got = []
+    for pi in range(4):
+        got += host_shard(pans, costs, process_index=pi, process_count=4)
+    assert sorted(got) == sorted(pans)
+    assert host_shard(pans, costs, process_index=0, process_count=1) == pans
+
+    sh = write_slurm_launcher(
+        str(tmp_path / "run.sh"), "/x/exp_setup.json", num_hosts=4
+    )
+    body = open(sh).read()
+    assert "#SBATCH -N 4" in body and "medgp_tpu.cli.main run" in body
+    assert os.access(sh, os.X_OK)
