@@ -28,8 +28,15 @@ log = logging.getLogger("medgp_tpu")
 
 
 def _load_cfg(path):
+    import os
+
     from medgp_tpu.config.experiment import ExperimentConfig
 
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"medgp-tpu: config file not found: {path} "
+            "(expected the exp_setup.json written by `generate`)"
+        )
     return ExperimentConfig.from_json(path)
 
 

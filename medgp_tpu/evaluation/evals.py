@@ -37,6 +37,18 @@ def eval_cohort(
 ) -> Dict[int, Dict[str, np.ndarray]]:
     """Returns {feature_idx: {"mae": (P_valid,), "ci_ratio": (P_valid,)}}."""
     out: Dict[int, Dict[str, np.ndarray]] = {}
+    any_output = any(
+        os.path.exists(
+            formats.test_paths(test_dir, test_mode, str(p))["flag"]
+        )
+        for p in pans
+    )
+    if not any_output:
+        raise FileNotFoundError(
+            f"no test outputs found for mode '{test_mode}' in {test_dir} — "
+            "run the test stage first or check --test-mode "
+            "(mean_wo_update | mean_w_update)"
+        )
     for fidx in feature_index:
         mean, std = formats.read_feature_stat(
             os.path.join(data_dir, f"feature{fidx}_stat.bin")

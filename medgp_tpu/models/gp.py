@@ -103,8 +103,9 @@ def nlml_fn(
     def loss(theta):
         K = noiseless_gram(spec, theta, data)
         nv = noise_variance(spec, theta, data.meta)
+        mean = spec.mean_vector(theta, data.meta)
         res = masked_nlml(
-            K, data.y, nv, data.mask, max_retries=max_retries
+            K, data.y, nv, data.mask, mean=mean, max_retries=max_retries
         )
         value = res.nlml
         if prior is not None:
@@ -153,7 +154,10 @@ def posterior_at(
     p = spec.unpack(theta)
     K = noiseless_gram(spec, theta, train)
     nv = noise_variance(spec, theta, train.meta)
-    res = masked_nlml(K, train.y, nv, train.mask, max_retries=max_retries)
+    mean = spec.mean_vector(theta, train.meta)
+    res = masked_nlml(
+        K, train.y, nv, train.mask, mean=mean, max_retries=max_retries
+    )
     if isinstance(spec, LMCSMSpec):
         Ks = cross_gram_lmcsm(
             spec, train.t, train.meta, t2, meta2,
@@ -173,4 +177,7 @@ def posterior_at(
     else:
         raise TypeError(f"unsupported spec {spec!r}")
     nv2 = noise_variance(spec, theta, meta2)
-    return predict(res.L, res.alpha, Ks, kss, nv2, train.mask)
+    mean2 = spec.mean_vector(theta, meta2)
+    return predict(
+        res.L, res.alpha, Ks, kss, nv2, train.mask, mean_test=mean2
+    )

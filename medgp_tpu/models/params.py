@@ -32,7 +32,15 @@ REF_PI = 3.14159265
 
 @dataclasses.dataclass(frozen=True)
 class KernelSpec:
-    """Base class for kernel specifications (static, hashable, jit-friendly)."""
+    """Base class for kernel specifications (static, hashable, jit-friendly).
+
+    `mean_kind` selects the prior mean function: "zero" (the only one the
+    reference mains instantiate), "const" (one shared constant,
+    medgpc/src/mean/c_meanfunc_const.cpp) or "const_mo" (one constant per
+    output, c_meanfunc_constMO.cpp). Mean hypers sit at the tail of the flat
+    theta ([lik | cov | mean], c_hyperparam.cpp) and are NOT exp-transformed
+    (c_meanfunc.cpp `set_meanfunc_hyp` is the identity).
+    """
 
     @property
     def n_lik(self) -> int:
@@ -43,8 +51,29 @@ class KernelSpec:
         raise NotImplementedError
 
     @property
+    def n_outputs(self) -> int:
+        return 1
+
+    @property
     def n_mean(self) -> int:
-        return 0  # zero mean function only, like the reference mains
+        kind = getattr(self, "mean_kind", "zero")
+        if kind == "zero":
+            return 0
+        if kind == "const":
+            return 1
+        if kind == "const_mo":
+            return self.n_outputs
+        raise ValueError(f"unknown mean_kind {kind!r}")
+
+    def mean_vector(self, theta: jnp.ndarray, meta: jnp.ndarray):
+        """Prior mean at each observation, or None for the zero mean."""
+        kind = getattr(self, "mean_kind", "zero")
+        if kind == "zero":
+            return None
+        _, _, mean = self.split(theta)
+        if kind == "const":
+            return jnp.broadcast_to(mean[..., 0], meta.shape)
+        return jnp.take(mean, meta, axis=-1)
 
     @property
     def n_hyp(self) -> int:
@@ -72,6 +101,11 @@ class LMCSMSpec(KernelSpec):
     Q: int
     D: int
     R: int
+    mean_kind: str = "zero"
+
+    @property
+    def n_outputs(self) -> int:
+        return self.D
 
     @property
     def n_lik(self) -> int:
@@ -108,6 +142,8 @@ class LMCSMSpec(KernelSpec):
 class SESpec(KernelSpec):
     """1-D squared exponential: hyp = [log noise | log lengthscale, log scale]."""
 
+    mean_kind: str = "zero"
+
     @property
     def n_lik(self) -> int:
         return 1
@@ -130,6 +166,7 @@ class SMSpec(KernelSpec):
     """1-D spectral mixture: cov = [log w (Q) | log mu (Q) | log v (Q)]."""
 
     Q: int
+    mean_kind: str = "zero"
 
     @property
     def n_lik(self) -> int:

@@ -41,6 +41,7 @@ PRIOR_NONE = -1
 PRIOR_CLAMP = 0
 PRIOR_NORMAL = 1
 PRIOR_LAPLACE = 2
+PRIOR_KDE = 3
 
 
 class PriorSpec(NamedTuple):
@@ -48,7 +49,10 @@ class PriorSpec(NamedTuple):
     exp_tf: jnp.ndarray      # (H,) bool: hyper is exp-transformed
     ptype: jnp.ndarray       # (H,) int32 type code
     loc: jnp.ndarray         # (H,) float
-    scale: jnp.ndarray       # (H,) float: variance (normal) or b (laplace)
+    scale: jnp.ndarray       # (H,) float: variance (normal), b (laplace),
+    #                             or bandwidth (KDE)
+    kde_samples: jnp.ndarray | None = None  # (H, S) padded KDE samples
+    kde_mask: jnp.ndarray | None = None     # (H, S) sample validity
 
     @property
     def n_hyp(self) -> int:
@@ -135,8 +139,57 @@ def log_prior(prior: PriorSpec, theta: jnp.ndarray) -> jnp.ndarray:
     lp = jnp.where(use_normal, lp_normal, 0.0) + jnp.where(
         use_laplace, lp_laplace, 0.0
     )
+
+    if prior.kde_samples is not None:
+        # Gaussian KDE log density (c_prior.cpp:165-194 `prior_lik_kde`):
+        # p(x) = sum_s N((x - x_s)/bw) / (n * bw)
+        use_kde = prior.ptype == PRIOR_KDE
+        bw = jnp.where(use_kde, jnp.maximum(prior.scale, 1e-30), 1.0)
+        z = (h[..., None] - prior.kde_samples) / bw[..., None]
+        m = prior.kde_mask.astype(z.dtype)
+        dens = jnp.sum(
+            jnp.exp(-0.5 * z * z) / jnp.sqrt(2.0 * REF_PI) * m, axis=-1
+        )
+        n_s = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+        # sanitize the unselected branch BEFORE the log: non-KDE rows have
+        # dens == 0 and log(0) = -inf would poison the `where` gradient
+        # (0 * inf = NaN); the clamp must also survive float32.
+        dens = jnp.where(use_kde, jnp.maximum(dens, 1e-30), 1.0)
+        lp_kde = jnp.log(dens / (n_s * bw))
+        lp = lp + jnp.where(use_kde, lp_kde, 0.0)
+
     sel = prior.active & (prior.ptype > PRIOR_CLAMP)
     return jnp.sum(jnp.where(sel, lp, 0.0))
+
+
+def set_kde_prior(
+    prior: PriorSpec,
+    index: int,
+    samples: jnp.ndarray,
+    bandwidth: float,
+    max_samples: int | None = None,
+) -> PriorSpec:
+    """Attach a KDE prior (type 3) to one hyper; samples are padded into the
+    (H, S) buffer shared by all KDE-prior hypers."""
+    samples = jnp.asarray(samples, prior.loc.dtype).reshape(-1)
+    S = max_samples or samples.shape[0]
+    H = prior.n_hyp
+    if prior.kde_samples is None or prior.kde_samples.shape[-1] < S:
+        old_s = 0 if prior.kde_samples is None else prior.kde_samples.shape[-1]
+        new_samples = jnp.zeros((H, S), prior.loc.dtype)
+        new_mask = jnp.zeros((H, S), bool)
+        if old_s:
+            new_samples = new_samples.at[:, :old_s].set(prior.kde_samples)
+            new_mask = new_mask.at[:, :old_s].set(prior.kde_mask)
+        prior = prior._replace(kde_samples=new_samples, kde_mask=new_mask)
+    k = samples.shape[0]
+    return prior._replace(
+        active=prior.active.at[index].set(True),
+        ptype=prior.ptype.at[index].set(PRIOR_KDE),
+        scale=prior.scale.at[index].set(bandwidth),
+        kde_samples=prior.kde_samples.at[index, :k].set(samples),
+        kde_mask=prior.kde_mask.at[index, :k].set(True),
+    )
 
 
 def clamp_a_elements(

@@ -155,6 +155,12 @@ def obs_output_order(t: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return order
 
 
+def _test_chunk_size(B: int, n: int, budget_bytes: int = 2 << 30) -> int:
+    """Timestamp-map chunk so B * chunk * n^2 fp32 grams stay inside HBM."""
+    c = budget_bytes // max(B * n * n * 4, 1)
+    return int(max(1, min(16, c)))
+
+
 def test_cohort(
     cfg: ExperimentConfig,
     records: Sequence[PatientRecord],
@@ -162,18 +168,21 @@ def test_cohort(
     kernclust_alg: str = "gmm",
     write: bool = True,
     modes=("mean_wo_update", "mean_w_update"),
-    map_batch_size: int = 8,
+    max_batch: int = 32,
 ) -> Dict[str, dict]:
     """Online imputation for every patient with the fold's mode kernel.
 
     `folds[i]` selects kernel/fold{f}/ for records[i] (the patient's held-out
     fold, run_exp_generator.py:237-239); None uses fold -1 ("all").
+
+    Patients are bucketed and padded like the train path, and each bucket
+    runs as ONE jitted vmapped program per test mode; unique timestamps are
+    padded to the bucket length so compiled shapes are reused across buckets
+    of equal n_max (the per-patient variant recompiled for every distinct n).
     """
     feature_list = cfg.feature_list
     out: Dict[str, dict] = {}
 
-    # group patients by fold: each fold has its own mode kernel (and possibly
-    # its own clustered Q, i.e. its own spec/compiled program)
     folds = (
         np.full(len(records), -1, int) if folds is None else np.asarray(folds)
     )
@@ -186,58 +195,85 @@ def test_cohort(
         theta = jnp.asarray(mode_theta, jnp.float32)
 
         sel = [r for r, f in zip(records, folds) if f == fold]
-        for rec in sel:
-            n = rec.n_obs
-            res_by_mode = {}
-            if n == 0:
+        empty = [r for r in sel if r.n_obs == 0]
+        for rec in empty:
+            out[rec.pan] = {m: dict(flag=False) for m in modes}
+            if write:
                 for m in modes:
-                    res_by_mode[m] = None
-            else:
-                data = PatientData(
-                    t=jnp.asarray(rec.t),
-                    y=jnp.asarray(rec.y),
-                    meta=jnp.asarray(rec.meta),
-                    mask=jnp.ones(n, jnp.float32),
-                )
-                u_t, u_ok = unique_times(rec.t, np.ones(n))
-                for m in modes:
-                    res = online_impute(
-                        spec, theta, data,
-                        jnp.asarray(u_t), jnp.asarray(u_ok),
-                        update=(m == "mean_w_update"),
-                        prior=prior,
-                        learn_rate=cfg.online_learn_rate,
-                        momentum=cfg.online_momentum,
-                        map_batch_size=map_batch_size,
-                    )
-                    res_by_mode[m] = jax.block_until_ready(res)
-
-            order = obs_output_order(rec.t, np.ones(max(n, 1))[:n])
-            entry = {}
-            for m, res in res_by_mode.items():
-                if res is None:
-                    entry[m] = dict(flag=False)
-                    if write:
-                        formats.write_test_result(
-                            cfg.exp_test_dir, m, rec.pan,
-                            np.zeros(0, int), np.zeros(0), np.zeros(0),
-                            np.zeros(0, int), np.zeros(0), flag=False,
-                        )
-                    continue
-                pred = np.asarray(res.pred, np.float64)[order]
-                err = np.asarray(res.error, np.float64)[order]
-                ci = np.asarray(res.ci)[order]
-                feat = np.asarray(
-                    [feature_list[j] for j in rec.meta[order]], int
-                )
-                etime = np.zeros(len(order))
-                entry[m] = dict(
-                    flag=True, pred=pred, error=err, ci=ci, feature=feat
-                )
-                if write:
                     formats.write_test_result(
                         cfg.exp_test_dir, m, rec.pan,
-                        feat, pred, err, ci, etime, flag=True,
+                        np.zeros(0, int), np.zeros(0), np.zeros(0),
+                        np.zeros(0, int), np.zeros(0), flag=False,
                     )
-            out[rec.pan] = entry
+
+        batches = pack_patients(
+            [r for r in sel if r.n_obs > 0], max_batch=max_batch
+        )
+
+        def run_mode(update: bool, chunk: int):
+            def one(t, y, meta, mask, ut, uv):
+                return online_impute(
+                    spec, theta,
+                    PatientData(t=t, y=y, meta=meta, mask=mask),
+                    ut, uv,
+                    update=update,
+                    prior=prior,
+                    learn_rate=cfg.online_learn_rate,
+                    momentum=cfg.online_momentum,
+                    map_batch_size=chunk,
+                )
+
+            return jax.jit(jax.vmap(one))
+
+        runners: Dict[tuple, object] = {}
+        for b in batches:
+            B, n_max = len(b), b.n_max
+            # unique timestamps padded to the bucket length (T <= n always)
+            ut = np.zeros((B, n_max), np.float32)
+            uv = np.zeros((B, n_max), bool)
+            for i in range(B):
+                u, v = unique_times(b.t[i], b.mask[i], pad_to=n_max)
+                ut[i], uv[i] = u, v
+            data_args = (
+                jnp.asarray(b.t), jnp.asarray(b.y),
+                jnp.asarray(b.meta), jnp.asarray(b.mask),
+                jnp.asarray(ut), jnp.asarray(uv),
+            )
+            chunk = _test_chunk_size(B, n_max)
+            res_by_mode = {}
+            for m in modes:
+                key = (m, n_max, chunk)
+                if key not in runners:
+                    runners[key] = run_mode(m == "mean_w_update", chunk)
+                t0 = time.time()
+                res_by_mode[m] = jax.block_until_ready(
+                    runners[key](*data_args)
+                )
+                log.info(
+                    "tested bucket fold=%s mode=%s n_max=%d B=%d in %.1fs",
+                    fold, m, n_max, B, time.time() - t0,
+                )
+
+            for i, pan in enumerate(b.pans):
+                rec = next(r for r in sel if r.pan == pan)
+                n = rec.n_obs
+                order = obs_output_order(b.t[i], b.mask[i])
+                entry = {}
+                for m, res in res_by_mode.items():
+                    pred = np.asarray(res.pred, np.float64)[i][order]
+                    err = np.asarray(res.error, np.float64)[i][order]
+                    ci = np.asarray(res.ci)[i][order]
+                    feat = np.asarray(
+                        [feature_list[j] for j in b.meta[i][order]], int
+                    )
+                    etime = np.zeros(len(order))
+                    entry[m] = dict(
+                        flag=True, pred=pred, error=err, ci=ci, feature=feat
+                    )
+                    if write:
+                        formats.write_test_result(
+                            cfg.exp_test_dir, m, pan,
+                            feat, pred, err, ci, etime, flag=True,
+                        )
+                out[pan] = entry
     return out
