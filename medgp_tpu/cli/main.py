@@ -141,6 +141,24 @@ def cmd_eval(args):
     print(json.dumps(s))
 
 
+def cmd_hmc(args):
+    cfg = _load_cfg(args.cfg)
+    records = _load_records(cfg, [args.pan] if args.pan else None)
+    from medgp_tpu.parallel.runner import hmc_cohort
+
+    t0 = time.time()
+    out = hmc_cohort(
+        cfg, records,
+        num_chains=args.chains, num_warmup=args.warmup,
+        num_samples=args.samples, num_leapfrog=args.leapfrog,
+        init_step_size=args.step_size,
+    )
+    log.info(
+        "sampled %d/%d patients in %.1fs",
+        len(out), len(records), time.time() - t0,
+    )
+
+
 def cmd_run(args):
     """Fused pipeline: train -> kernclust (all folds) -> test -> eval."""
     cfg = _load_cfg(args.cfg)
@@ -220,6 +238,18 @@ def build_parser():
     e.add_argument("--cfg", required=True)
     e.add_argument("--test-mode", required=True)
     e.set_defaults(func=cmd_eval)
+
+    h = sub.add_parser(
+        "hmc", help="posterior sampling over trained hypers (post-MAP)"
+    )
+    h.add_argument("--cfg", required=True)
+    h.add_argument("--pan", default=None)
+    h.add_argument("--chains", type=int, default=4)
+    h.add_argument("--warmup", type=int, default=300)
+    h.add_argument("--samples", type=int, default=300)
+    h.add_argument("--leapfrog", type=int, default=16)
+    h.add_argument("--step-size", type=float, default=0.005)
+    h.set_defaults(func=cmd_hmc)
 
     r = sub.add_parser("run", help="fused train+kernclust+test+eval")
     r.add_argument("--cfg", required=True)

@@ -181,3 +181,46 @@ def posterior_at(
     return predict(
         res.L, res.alpha, Ks, kss, nv2, train.mask, mean_test=mean2
     )
+
+
+def parsed_posterior_at(
+    spec: KernelSpec,
+    theta: jnp.ndarray,
+    train: PatientData,
+    t2: jnp.ndarray,
+    meta2: jnp.ndarray,
+    max_retries: int = 10,
+):
+    """Posterior plus the per-source-covariate decomposition of the
+    predictive mean: contribution_d[j] = sum_{k: meta_k = d} Ks[k, j] alpha_k.
+
+    The coregionalization debugging view of the reference's
+    `GP_Regression::parsed_predict` (gp_regression.cpp:216-320): the total
+    predictive mean is the sum over source outputs of their contributions
+    (plus the prior mean), exposing which covariates drive each imputation.
+
+    Returns (Posterior, contributions (D, m)).
+    """
+    if not isinstance(spec, LMCSMSpec):
+        raise TypeError("parsed prediction is defined for the LMC-SM kernel")
+    p = spec.unpack(theta)
+    K = noiseless_gram(spec, theta, train)
+    nv = noise_variance(spec, theta, train.meta)
+    mean = spec.mean_vector(theta, train.meta)
+    res = masked_nlml(
+        K, train.y, nv, train.mask, mean=mean, max_retries=max_retries
+    )
+    Ks = cross_gram_lmcsm(
+        spec, train.t, train.meta, t2, meta2,
+        p["A"], p["mu"], p["v"], p["kappa"],
+    )
+    kss = diag_lmcsm(spec, meta2, p["A"], p["kappa"])
+    nv2 = noise_variance(spec, theta, meta2)
+    mean2 = spec.mean_vector(theta, meta2)
+    post = predict(
+        res.L, res.alpha, Ks, kss, nv2, train.mask, mean_test=mean2
+    )
+    onehot = jax.nn.one_hot(train.meta, spec.D, dtype=Ks.dtype)  # (n, D)
+    weighted = Ks * (res.alpha * train.mask.astype(Ks.dtype))[:, None]
+    contributions = jnp.einsum("nd,nm->dm", onehot, weighted)
+    return post, contributions

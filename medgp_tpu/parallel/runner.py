@@ -132,6 +132,100 @@ def train_cohort(
 
 
 # --------------------------------------------------------------------------
+# HMC posterior sampling
+# --------------------------------------------------------------------------
+
+def hmc_cohort(
+    cfg: ExperimentConfig,
+    records: Sequence[PatientRecord],
+    num_chains: int = 4,
+    num_warmup: int = 300,
+    num_samples: int = 300,
+    num_leapfrog: int = 16,
+    init_step_size: float = 0.005,
+    write: bool = True,
+    seed: int = 0,
+) -> Dict[str, dict]:
+    """Posterior sampling for every trained patient (the capability the
+    reference lacks). Initializes each patient's chains at its MAP hypers
+    (train_hyp_*.bin) and writes posterior artifacts next to them:
+    train_hmc_mean_{pan}.bin (flat posterior-mean theta, reference double-bin
+    format) and train_hmc_samples_{pan}.npz (chains x samples x H plus
+    diagnostics)."""
+    import os
+
+    from medgp_tpu.infer.hmc import hmc_patient
+    from medgp_tpu.models.priors import hier_gamma_prior
+
+    spec = cfg.spec()
+    prior = (
+        hier_gamma_prior(spec, beta_lam=cfg.beta_lam)
+        if cfg.prior_index == 2 and isinstance(spec, LMCSMSpec)
+        else None
+    )
+    pans, hyps = formats.read_train_kernels(
+        cfg.exp_train_dir, [r.pan for r in records]
+    )
+    by_pan = {p: h for p, h in zip(pans, hyps)}
+    key = jax.random.key(seed)
+
+    out: Dict[str, dict] = {}
+    for rec in records:
+        if rec.pan not in by_pan:
+            continue
+        n = rec.n_obs
+        data = PatientData(
+            t=jnp.asarray(rec.t),
+            y=jnp.asarray(rec.y),
+            meta=jnp.asarray(rec.meta),
+            mask=jnp.ones(n, jnp.float32),
+        )
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        res = jax.block_until_ready(
+            hmc_patient(
+                spec, data,
+                jnp.asarray(by_pan[rec.pan], jnp.float32), sub,
+                prior=prior, num_chains=num_chains,
+                num_warmup=num_warmup, num_samples=num_samples,
+                num_leapfrog=num_leapfrog, init_step_size=init_step_size,
+            )
+        )
+        samples = np.asarray(res.samples)           # (C, S, H)
+        post_mean = samples.reshape(-1, samples.shape[-1]).mean(0)
+        diag = dict(
+            accept_rate=np.asarray(res.accept_rate),
+            step_size=np.asarray(res.step_size),
+            divergences=np.asarray(res.divergences),
+        )
+        log.info(
+            "hmc %s: %d chains x %d samples in %.1fs "
+            "(accept=%.2f..%.2f, div=%d)",
+            rec.pan, num_chains, num_samples, time.time() - t0,
+            float(diag["accept_rate"].min()),
+            float(diag["accept_rate"].max()),
+            int(diag["divergences"].sum()),
+        )
+        out[rec.pan] = dict(
+            samples=samples, post_mean=post_mean, **diag
+        )
+        if write:
+            formats.write_double_bin(
+                os.path.join(
+                    cfg.exp_train_dir, f"train_hmc_mean_{rec.pan}.bin"
+                ),
+                post_mean,
+            )
+            np.savez(
+                os.path.join(
+                    cfg.exp_train_dir, f"train_hmc_samples_{rec.pan}.npz"
+                ),
+                samples=samples, **diag,
+            )
+    return out
+
+
+# --------------------------------------------------------------------------
 # testing
 # --------------------------------------------------------------------------
 
