@@ -51,6 +51,7 @@ def train_cohort(
     write: bool = True,
     max_batch: int = 64,
     screen_chunk: int = 32,
+    ckpt_dir: Optional[str] = None,
 ) -> Dict[str, dict]:
     """Train every patient; returns {pan: result dict} and optionally writes
     the reference train artifacts.
@@ -58,13 +59,26 @@ def train_cohort(
     The restart set is shared by all patients, matching the reference where
     every per-patient process seeds `srand(random_seed)` identically and
     generates the same init sequence (c_experiment.cpp:418-441).
+
+    With `ckpt_dir`, completed buckets are checkpointed and a re-run resumes
+    at the first unfinished bucket (the whole-run resumability the
+    reference's per-stage file overwrites cannot provide; SURVEY §5.4).
     """
+    import hashlib
+
+    from medgp_tpu.utils.checkpoints import CohortCheckpointer
+
     spec = cfg.spec()
     bounds = cfg.bounds()
     S = n_restarts or cfg.random_init_num
     inits = random_inits(jax.random.key(cfg.random_seed), spec, bounds, S)
 
     batches = pack_patients(records, max_batch=max_batch)
+    ckpt = CohortCheckpointer(ckpt_dir) if ckpt_dir else None
+
+    def bucket_key(b: PaddedBatch) -> np.ndarray:
+        h = hashlib.sha256("|".join(b.pans).encode()).digest()[:8]
+        return np.frombuffer(h, np.int64)
     train_kwargs = dict(
         prior_mode=cfg.prior_index,
         eta=cfg.eta,
@@ -86,32 +100,59 @@ def train_cohort(
         return jax.vmap(one)(data.t, data.y, data.meta, data.mask)
 
     out: Dict[str, dict] = {}
-    for b in batches:
-        t0 = time.time()
-        res = jax.block_until_ready(run_batch(_batch_data(b)))
-        dt = time.time() - t0
-        log.info(
-            "trained bucket n_max=%d B=%d in %.1fs (%.2f patients/s)",
-            b.n_max, len(b), dt, len(b) / dt,
-        )
-        theta = np.asarray(res.theta, np.float64)
-        init_theta = np.asarray(res.init_theta, np.float64)
-        flags = np.asarray(res.flag)
-        losses = np.asarray(res.loss, np.float64)
-        nobs = np.asarray(res.n_obs)
-        var_flat = (
-            np.concatenate(
-                [
-                    np.asarray(res.var_state.psi).reshape(len(b), -1),
-                    np.asarray(res.var_state.delta).reshape(len(b), -1),
-                    np.asarray(res.var_state.phi).reshape(len(b), -1),
-                    np.asarray(res.var_state.tau).reshape(len(b), -1),
-                ],
-                axis=1,
-            ).astype(np.float64)
-            if cfg.prior_index == 2
-            else None
-        )
+    for bidx, b in enumerate(batches):
+        restored = None
+        if ckpt is not None:
+            saved = ckpt.load_bucket(bidx)
+            if saved is not None and np.array_equal(
+                saved.get("key"), bucket_key(b)
+            ):
+                restored = saved
+                log.info(
+                    "resumed bucket %d (n_max=%d B=%d) from checkpoint",
+                    bidx, b.n_max, len(b),
+                )
+        if restored is not None:
+            theta = restored["theta"]
+            init_theta = restored["init_theta"]
+            flags = restored["flag"].astype(bool)
+            losses = restored["loss"]
+            nobs = restored["n_obs"]
+            var_flat = restored.get("var_flat")
+        else:
+            t0 = time.time()
+            res = jax.block_until_ready(run_batch(_batch_data(b)))
+            dt = time.time() - t0
+            log.info(
+                "trained bucket n_max=%d B=%d in %.1fs (%.2f patients/s)",
+                b.n_max, len(b), dt, len(b) / dt,
+            )
+            theta = np.asarray(res.theta, np.float64)
+            init_theta = np.asarray(res.init_theta, np.float64)
+            flags = np.asarray(res.flag)
+            losses = np.asarray(res.loss, np.float64)
+            nobs = np.asarray(res.n_obs)
+            var_flat = (
+                np.concatenate(
+                    [
+                        np.asarray(res.var_state.psi).reshape(len(b), -1),
+                        np.asarray(res.var_state.delta).reshape(len(b), -1),
+                        np.asarray(res.var_state.phi).reshape(len(b), -1),
+                        np.asarray(res.var_state.tau).reshape(len(b), -1),
+                    ],
+                    axis=1,
+                ).astype(np.float64)
+                if cfg.prior_index == 2
+                else None
+            )
+            if ckpt is not None:
+                state = dict(
+                    key=bucket_key(b), theta=theta, init_theta=init_theta,
+                    flag=flags.astype(np.int8), loss=losses, n_obs=nobs,
+                )
+                if var_flat is not None:
+                    state["var_flat"] = var_flat
+                ckpt.save_bucket(bidx, state)
         for i, pan in enumerate(b.pans):
             out[pan] = dict(
                 theta=theta[i],
