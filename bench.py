@@ -165,11 +165,17 @@ def measure_tpu(steps=20):
 
         return jax.vmap(one)(thetas, t, y, meta, mask)
 
-    args = tuple(map(jnp.asarray, (thetas, t, y, meta, mask)))
-    jax.block_until_ready(step(*args))  # compile
+    # rotate distinct theta batches between steps so a caching/deduping
+    # runtime (remote-dispatch tunnels) cannot elide repeated identical work
+    n_rot = 4
+    theta_rot = [
+        jnp.asarray(thetas + 0.001 * k, jnp.float32) for k in range(n_rot)
+    ]
+    fixed = tuple(map(jnp.asarray, (t, y, meta, mask)))
+    jax.block_until_ready(step(theta_rot[0], *fixed))  # compile
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = step(*args)
+    for i in range(steps):
+        out = step(theta_rot[i % n_rot], *fixed)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / steps
     return BATCH / dt

@@ -11,10 +11,11 @@ quadratic form (y is masked to 0), which makes the masking exactly neutral.
 
 The Cholesky keeps the reference's jitter-escalation semantics: on failure the
 noise diagonal is added again, up to `max_retries` more times (reference:
-medgpc/src/inference/c_inference_exact.cpp:97-111). The retry search runs
-under `stop_gradient` (the chosen multiplier is a discrete decision); the
-differentiable path factorizes once at the chosen multiplier, so `jax.grad`
-of the NLML is exact for the factorization actually used.
+medgpc/src/inference/c_inference_exact.cpp:97-111). The retry loop's own
+factorization is the result (one factorization in the common path) and a
+custom VJP replays the factorization at the chosen multiplier for the
+backward pass, so `jax.grad` of the NLML is exact for the factorization
+actually used.
 
 NLML = 1/2 y^T alpha + sum_i log L_ii + (sum m)/2 * log(2*pi)
 (reference: c_inference_exact.cpp:118-152).
@@ -22,6 +23,7 @@ NLML = 1/2 y^T alpha + sum_i log L_ii + (sum m)/2 * log(2*pi)
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -54,36 +56,67 @@ def jittered_cholesky(
     `noise_diag` must already be masked (0 on padded entries).
     Attempts mult = 1, 2, ..., 1 + max_retries; `ok` is False if all fail.
     """
-    eye_scale = noise_diag
-
-    def find_mult(K_sg, noise_sg):
-        def attempt_sg(mult):
-            Kj = K_sg + jnp.diag(mult.astype(K_sg.dtype) * noise_sg)
-            return jnp.linalg.cholesky(Kj)
-
-        def cond(state):
-            mult, ok = state
-            return jnp.logical_and(~ok, mult <= max_retries)
-
-        def body(state):
-            mult, _ = state
-            mult = mult + 1
-            return mult, _chol_ok(attempt_sg(mult))
-
-        mult0 = jnp.asarray(1, jnp.int32)
-        ok0 = _chol_ok(attempt_sg(mult0))
-        mult, ok = lax.while_loop(cond, body, (mult0, ok0))
-        return mult, ok
-
-    mult, ok = find_mult(lax.stop_gradient(K), lax.stop_gradient(eye_scale))
-    # Differentiable factorization at the chosen multiplier. When every
-    # attempt failed, factorize the identity instead so neither the primal
-    # nor the cotangent of `cholesky` ever sees NaNs; the caller masks the
-    # result out via `ok`.
-    Kj = K + jnp.diag(mult.astype(K.dtype) * eye_scale)
-    Kj = jnp.where(ok, Kj, jnp.eye(K.shape[-1], dtype=K.dtype))
-    L = jnp.linalg.cholesky(Kj)
+    L, ok, mult = _jittered_chol_cv(K, noise_diag, max_retries)
     return CholResult(L=L, ok=ok, mult=mult)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _jittered_chol_cv(K, noise_diag, max_retries):
+    """Jitter-search Cholesky with a custom VJP.
+
+    The search loop's factorizations ARE the result (no duplicate
+    differentiable re-factorization; reverse-mode through while_loop is
+    unsupported, hence the custom rule). The backward pass replays one
+    cholesky at the chosen multiplier through jax.vjp — so a full
+    value-and-grad costs 2 factorizations instead of 3, and a value-only
+    evaluation (restart screens, line-search probes) costs 1 instead of 2.
+    """
+    n = K.shape[-1]
+
+    def attempt(mult):
+        return jnp.linalg.cholesky(
+            K + jnp.diag(mult.astype(K.dtype) * noise_diag)
+        )
+
+    def cond(state):
+        mult, L, ok = state
+        return jnp.logical_and(~ok, mult <= max_retries)
+
+    def body(state):
+        mult, _, _ = state
+        mult = mult + 1
+        L = attempt(mult)
+        return mult, L, _chol_ok(L)
+
+    mult0 = jnp.asarray(1, jnp.int32)
+    L0 = attempt(mult0)
+    mult, L, ok = lax.while_loop(cond, body, (mult0, L0, _chol_ok(L0)))
+    L = jnp.where(ok, L, jnp.eye(n, dtype=K.dtype))
+    return L, ok, mult
+
+
+def _jittered_chol_cv_fwd(K, noise_diag, max_retries):
+    L, ok, mult = _jittered_chol_cv(K, noise_diag, max_retries)
+    return (L, ok, mult), (K, noise_diag, ok, mult)
+
+
+def _jittered_chol_cv_bwd(max_retries, res, cts):
+    K, noise_diag, ok, mult = res
+    dL, _, _ = cts
+    n = K.shape[-1]
+
+    def refact(K, noise_diag):
+        Kj = K + jnp.diag(mult.astype(K.dtype) * noise_diag)
+        Kj = jnp.where(ok, Kj, jnp.eye(n, dtype=K.dtype))
+        return jnp.linalg.cholesky(Kj)
+
+    _, vjp = jax.vjp(refact, K, noise_diag)
+    dL = jnp.where(ok, dL, jnp.zeros_like(dL))
+    dK, dnoise = vjp(dL)
+    return dK, dnoise
+
+
+_jittered_chol_cv.defvjp(_jittered_chol_cv_fwd, _jittered_chol_cv_bwd)
 
 
 class NLMLResult(NamedTuple):
