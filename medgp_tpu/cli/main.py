@@ -152,6 +152,7 @@ def cmd_hmc(args):
         num_chains=args.chains, num_warmup=args.warmup,
         num_samples=args.samples, num_leapfrog=args.leapfrog,
         init_step_size=args.step_size,
+        sampler=args.sampler, max_depth=args.max_depth,
     )
     log.info(
         "sampled %d/%d patients in %.1fs",
@@ -248,6 +249,15 @@ def build_parser():
     h.add_argument("--warmup", type=int, default=300)
     h.add_argument("--samples", type=int, default=300)
     h.add_argument("--leapfrog", type=int, default=16)
+    h.add_argument(
+        "--sampler", choices=("hmc", "nuts"), default="hmc",
+        help="hmc = jittered fixed trajectories; nuts = adaptive "
+             "trajectory lengths (fixed-shape iterative tree)",
+    )
+    h.add_argument(
+        "--max-depth", type=int, default=6,
+        help="NUTS tree depth bound (<= 2^depth - 1 gradient evals/draw)",
+    )
     h.add_argument("--step-size", type=float, default=0.005)
     h.set_defaults(func=cmd_hmc)
 

@@ -93,6 +93,86 @@ def _da_update(st: _DAState, accept_prob, i, target, mu,
     return _DAState(log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar)
 
 
+def two_phase_warmup(
+    kernel: Callable,
+    state0,
+    theta_of: Callable,
+    key: jax.Array,
+    num_warmup: int,
+    init_step_size: float,
+    target_accept: float,
+    gmask: jnp.ndarray,
+    dtype,
+):
+    """Shared sampler warmup: phase 1 adapts the step size by dual averaging
+    under identity mass while estimating the diagonal mass matrix from its
+    second half (Welford); phase 2 re-adapts the step size under the new
+    mass. Adapting eps only once and *then* switching the mass would leave a
+    step size calibrated for the wrong metric (off by sqrt(mass) per
+    coordinate) — on wide targets that froze the chain entirely.
+
+    `kernel(state, key, eps, inv_mass) -> (state, accept_prob)`;
+    `theta_of(state)` extracts the position. Returns (state, eps, inv_mass).
+    """
+    H = gmask.shape[-1]
+    n1 = max((num_warmup * 3) // 5, 1)
+    n2 = max(num_warmup - n1, 0)
+    k1, k2 = jax.random.split(key)
+
+    def phase(state, keys, inv_mass, eps_init, collect_from, n_steps):
+        da0 = _DAState(
+            log_eps=jnp.log(eps_init.astype(dtype)),
+            log_eps_bar=jnp.asarray(0.0, dtype),
+            h_bar=jnp.asarray(0.0, dtype),
+        )
+        mu = jnp.log(10.0 * eps_init)
+        carry0 = dict(
+            state=state, da=da0,
+            mean=jnp.zeros(H, dtype), m2=jnp.zeros(H, dtype),
+            count=jnp.asarray(0.0, dtype),
+        )
+
+        def step(carry, xs):
+            i, kk = xs
+            eps = jnp.exp(carry["da"].log_eps)
+            state, accept_prob = kernel(carry["state"], kk, eps, inv_mass)
+            da = _da_update(carry["da"], accept_prob, i, target_accept, mu)
+            in_window = i >= collect_from
+            cnt = carry["count"] + in_window.astype(dtype)
+            th = theta_of(state)
+            delta = th - carry["mean"]
+            mean = carry["mean"] + jnp.where(
+                in_window, delta / jnp.maximum(cnt, 1.0), 0.0
+            )
+            m2 = carry["m2"] + jnp.where(in_window, delta * (th - mean), 0.0)
+            return dict(state=state, da=da, mean=mean, m2=m2, count=cnt), None
+
+        carry, _ = lax.scan(step, carry0, (jnp.arange(n_steps), keys))
+        eps = jnp.exp(carry["da"].log_eps_bar)
+        eps = jnp.where(jnp.isfinite(eps) & (eps > 0), eps, eps_init)
+        var = carry["m2"] / jnp.maximum(carry["count"] - 1.0, 1.0)
+        n_w = jnp.maximum(carry["count"], 1.0)
+        inv_new = (n_w / (n_w + 5.0)) * var + (5.0 / (n_w + 5.0)) * 1e-3
+        inv_new = jnp.where(gmask > 0, jnp.maximum(inv_new, 1e-6), 1e-6)
+        return carry["state"], eps, inv_new
+
+    state, eps1, inv_mass = phase(
+        state0, jax.random.split(k1, n1), jnp.ones(H, dtype),
+        jnp.asarray(init_step_size, dtype), n1 // 2, n1,
+    )
+    if n2 == 0:
+        return state, eps1, inv_mass
+    # re-adapt eps under the estimated mass; a mass change of factor m
+    # rescales the stable step by ~1/sqrt(median m)
+    eps2_init = eps1 / jnp.sqrt(
+        jnp.maximum(jnp.median(jnp.where(gmask > 0, inv_mass, 1.0)), 1e-6)
+    )
+    state, eps2, _ = phase(
+        state, jax.random.split(k2, n2), inv_mass, eps2_init, n2, n2
+    )
+    return state, eps2, inv_mass
+
+
 def hmc_sample(
     potential_grad: Callable,
     theta0: jnp.ndarray,
@@ -146,58 +226,16 @@ def hmc_sample(
 
     u0, _ = potential_grad(theta0)
 
-    # ---- warmup: dual averaging + mass estimation (Welford, 2nd half) ----
-    mu = jnp.log(10.0 * init_step_size)
-    da0 = _DAState(
-        log_eps=jnp.log(jnp.asarray(init_step_size, dtype)),
-        log_eps_bar=jnp.asarray(0.0, dtype),
-        h_bar=jnp.asarray(0.0, dtype),
-    )
-    w0 = dict(
-        state=(theta0, u0),
-        da=da0,
-        mean=jnp.zeros(H, dtype),
-        m2=jnp.zeros(H, dtype),
-        count=jnp.asarray(0.0, dtype),
-        inv_mass=jnp.ones(H, dtype),
-    )
-
-    def warm_step(carry, xs):
-        i, key = xs
+    def warm_kernel(state, key, eps, inv_mass):
         k1, k2 = jax.random.split(key)
-        eps = jnp.exp(carry["da"].log_eps)
-        state, accept_prob, _ = kernel(
-            carry["state"], k1, eps, carry["inv_mass"], steps_for(k2)
-        )
-        da = _da_update(
-            carry["da"], accept_prob, i, target_accept, mu
-        )
-        # Welford running moments over the 2nd half of warmup
-        in_window = i >= (num_warmup // 2)
-        cnt = carry["count"] + in_window.astype(dtype)
-        delta = state[0] - carry["mean"]
-        mean = carry["mean"] + jnp.where(in_window, delta / jnp.maximum(cnt, 1.0), 0.0)
-        m2 = carry["m2"] + jnp.where(
-            in_window, delta * (state[0] - mean), 0.0
-        )
-        return dict(
-            state=state, da=da, mean=mean, m2=m2, count=cnt,
-            inv_mass=carry["inv_mass"],
-        ), None
+        state, accept_prob, _ = kernel(state, k1, eps, inv_mass, steps_for(k2))
+        return state, accept_prob
 
-    keys = jax.random.split(key, num_warmup + num_samples + 1)
-    warm_keys = keys[:num_warmup]
-    wc, _ = lax.scan(
-        warm_step, w0, (jnp.arange(num_warmup), warm_keys)
+    keys = jax.random.split(key, num_samples + 1)
+    warm_state, eps, inv_mass = two_phase_warmup(
+        warm_kernel, (theta0, u0), lambda s: s[0], keys[-1],
+        num_warmup, init_step_size, target_accept, gmask, dtype,
     )
-
-    var = wc["m2"] / jnp.maximum(wc["count"] - 1.0, 1.0)
-    # regularized variance (Stan-style shrinkage toward unity)
-    n_w = jnp.maximum(wc["count"], 1.0)
-    inv_mass = (n_w / (n_w + 5.0)) * var + (5.0 / (n_w + 5.0)) * 1e-3
-    inv_mass = jnp.where(gmask > 0, jnp.maximum(inv_mass, 1e-6), 1e-6)
-    eps = jnp.exp(wc["da"].log_eps_bar)
-    eps = jnp.where(jnp.isfinite(eps) & (eps > 0), eps, init_step_size)
 
     # ---- sampling ----
     def sample_step(carry, xs):
@@ -209,7 +247,7 @@ def hmc_sample(
         return state, (state[0], state[1], accept_prob, divergent)
 
     final, (samples, pots, aps, divs) = lax.scan(
-        sample_step, wc["state"], keys[num_warmup : num_warmup + num_samples]
+        sample_step, warm_state, keys[:num_samples]
     )
     return HMCResult(
         samples=samples,

@@ -127,6 +127,82 @@ class NLMLResult(NamedTuple):
     mult: jnp.ndarray     # () jitter multiplier used
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _nlml_core(Km, y_eff, noise_eff, max_retries):
+    """(raw NLML, L, alpha, ok, mult) of M = Km + mult*diag(noise_eff).
+
+    Custom VJP: the NLML cotangent uses the reference's Q-matrix identity
+    d NLML / dM = 1/2 (M^{-1} - alpha alpha^T)
+    (c_inference_exact.cpp:168-172) — one triangular inverse + one syrk-shaped
+    matmul, instead of autodiff's replayed factorization + Cholesky-VJP
+    triangular solves (~2x cheaper backward; the Cholesky chain dominates the
+    objective+gradient evaluation). alpha cotangents get the cheap exact rule;
+    an L cotangent (rare: only when differentiating *through* the posterior)
+    falls back to the exact replayed-Cholesky VJP. Symbolic-zero cotangents
+    select the paths at trace time.
+    """
+    L, ok, mult = _jittered_chol_cv(Km, noise_eff, max_retries)
+    alpha = cho_solve((L, True), y_eff)
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+    quad = jnp.dot(y_eff, alpha)
+    return 0.5 * quad + logdet, L, alpha, ok, mult
+
+
+def _nlml_core_fwd(Km, y_eff, noise_eff, max_retries):
+    out = _nlml_core(Km.value, y_eff.value, noise_eff.value, max_retries)
+    _, L, alpha, ok, mult = out
+    return out, (Km.value, y_eff.value, noise_eff.value, L, alpha, ok, mult)
+
+
+def _is_symzero(x) -> bool:
+    from jax.custom_derivatives import SymbolicZero
+
+    return isinstance(x, SymbolicZero)
+
+
+def _nlml_core_bwd(max_retries, res, cts):
+    Km, y_eff, noise_eff, L, alpha, ok, mult = res
+    d_nlml, d_L, d_alpha, _d_ok, _d_mult = cts
+    dtype = L.dtype
+    n = L.shape[-1]
+    dKm = jnp.zeros_like(Km)
+    dy = jnp.zeros_like(y_eff)
+
+    if not (_is_symzero(d_nlml) and _is_symzero(d_alpha)):
+        Linv = solve_triangular(L, jnp.eye(n, dtype=dtype), lower=True)
+        Kinv = Linv.T @ Linv
+    if not _is_symzero(d_nlml):
+        dKm = dKm + (0.5 * d_nlml) * (Kinv - jnp.outer(alpha, alpha))
+        dy = dy + d_nlml * alpha
+    if not _is_symzero(d_alpha):
+        w = Kinv @ d_alpha
+        dy = dy + w
+        dKm = dKm - jnp.outer(w, alpha)
+
+    # M = Km + mult*diag(noise): the noise cotangent is the diagonal of dM
+    dnoise = mult.astype(dtype) * jnp.diagonal(dKm)
+
+    if not _is_symzero(d_L):
+        # exact Cholesky cotangent via a replayed factorization (cold path)
+        def refact(Km_, noise_):
+            Mj = Km_ + jnp.diag(mult.astype(dtype) * noise_)
+            Mj = jnp.where(ok, Mj, jnp.eye(n, dtype=dtype))
+            return jnp.linalg.cholesky(Mj)
+
+        _, vjp = jax.vjp(refact, Km, noise_eff)
+        dK2, dn2 = vjp(jnp.where(ok, d_L, jnp.zeros_like(d_L)))
+        dKm = dKm + dK2
+        dnoise = dnoise + dn2
+
+    dKm = jnp.where(ok, dKm, jnp.zeros_like(dKm))
+    dy = jnp.where(ok, dy, jnp.zeros_like(dy))
+    dnoise = jnp.where(ok, dnoise, jnp.zeros_like(dnoise))
+    return dKm, dy, dnoise
+
+
+_nlml_core.defvjp(_nlml_core_fwd, _nlml_core_bwd, symbolic_zeros=True)
+
+
 def mask_gram(K: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Zero out padded rows/cols of K and put 1 on their diagonal."""
     m2 = mask[..., :, None] * mask[..., None, :]
@@ -153,18 +229,16 @@ def masked_nlml(
     y_eff = (y if mean is None else y - mean) * mask
     noise_eff = noise_var * mask
     Km = mask_gram(K, mask)
-    chol = jittered_cholesky(Km, noise_eff, max_retries=max_retries)
-    L = chol.L  # finite even on failure (identity fallback inside)
-    alpha = cho_solve((L, True), y_eff)
-    logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
-    quad = jnp.dot(y_eff, alpha)
+    nlml_raw, L, alpha, ok, mult = _nlml_core(
+        Km, y_eff, noise_eff, max_retries
+    )
     n_eff = jnp.sum(mask)
-    nlml = 0.5 * quad + logdet + 0.5 * n_eff * jnp.log(2.0 * REF_PI)
+    nlml = nlml_raw + 0.5 * n_eff * jnp.log(2.0 * REF_PI)
     # A failed factorization must not poison downstream reductions; report a
     # finite sentinel and ok=False (caller decides; reference returns
     # flag_success=false and skips, main_one_train.cpp:239-258).
-    nlml = jnp.where(chol.ok, nlml, jnp.asarray(jnp.inf, dtype))
-    return NLMLResult(nlml=nlml, ok=chol.ok, L=L, alpha=alpha, mult=chol.mult)
+    nlml = jnp.where(ok, nlml, jnp.asarray(jnp.inf, dtype))
+    return NLMLResult(nlml=nlml, ok=ok, L=L, alpha=alpha, mult=mult)
 
 
 class Posterior(NamedTuple):

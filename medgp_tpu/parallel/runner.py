@@ -186,17 +186,24 @@ def hmc_cohort(
     init_step_size: float = 0.005,
     write: bool = True,
     seed: int = 0,
+    sampler: str = "hmc",
+    max_depth: int = 6,
 ) -> Dict[str, dict]:
     """Posterior sampling for every trained patient (the capability the
     reference lacks). Initializes each patient's chains at its MAP hypers
     (train_hyp_*.bin) and writes posterior artifacts next to them:
     train_hmc_mean_{pan}.bin (flat posterior-mean theta, reference double-bin
     format) and train_hmc_samples_{pan}.npz (chains x samples x H plus
-    diagnostics)."""
+    diagnostics). `sampler` is "hmc" (jittered trajectories, `num_leapfrog`)
+    or "nuts" (adaptive trajectories, `max_depth`)."""
     import os
 
     from medgp_tpu.infer.hmc import hmc_patient
+    from medgp_tpu.infer.nuts import nuts_patient
     from medgp_tpu.models.priors import hier_gamma_prior
+
+    if sampler not in ("hmc", "nuts"):
+        raise ValueError(f"unknown sampler {sampler!r} (use 'hmc' or 'nuts')")
 
     spec = cfg.spec()
     prior = (
@@ -223,15 +230,22 @@ def hmc_cohort(
         )
         key, sub = jax.random.split(key)
         t0 = time.time()
-        res = jax.block_until_ready(
-            hmc_patient(
-                spec, data,
-                jnp.asarray(by_pan[rec.pan], jnp.float32), sub,
-                prior=prior, num_chains=num_chains,
-                num_warmup=num_warmup, num_samples=num_samples,
-                num_leapfrog=num_leapfrog, init_step_size=init_step_size,
-            )
+        common = dict(
+            prior=prior, num_chains=num_chains,
+            num_warmup=num_warmup, num_samples=num_samples,
+            init_step_size=init_step_size,
         )
+        theta0 = jnp.asarray(by_pan[rec.pan], jnp.float32)
+        if sampler == "nuts":
+            res = jax.block_until_ready(
+                nuts_patient(spec, data, theta0, sub,
+                             max_depth=max_depth, **common)
+            )
+        else:
+            res = jax.block_until_ready(
+                hmc_patient(spec, data, theta0, sub,
+                            num_leapfrog=num_leapfrog, **common)
+            )
         samples = np.asarray(res.samples)           # (C, S, H)
         post_mean = samples.reshape(-1, samples.shape[-1]).mean(0)
         diag = dict(

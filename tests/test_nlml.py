@@ -17,6 +17,7 @@ from medgp_tpu.models.priors import (
 from medgp_tpu.models.gp import (
     PatientData,
     nlml_fn,
+    noiseless_gram,
     objective_and_grad,
     posterior_at,
 )
@@ -262,3 +263,67 @@ def test_vmap_over_restarts_and_patients(rng):
     assert values.shape == (P, S)
     v00 = one(datas[0], thetas[0, 0])
     assert float(values[0, 0]) == pytest.approx(float(v00), rel=1e-5)
+
+
+def test_qmatrix_vjp_matches_plain_autodiff(rng):
+    """The custom Q-matrix backward of masked_nlml must equal plain autodiff
+    through an undecorated cholesky NLML — for the nlml, alpha, and L
+    cotangent paths separately."""
+    from jax.scipy.linalg import cho_solve, solve_triangular
+
+    from medgp_tpu.ops.nlml import mask_gram, masked_nlml
+
+    spec = LMCSMSpec(2, 3, 2)
+    data = make_patient(rng, spec, n=20, n_pad=4)
+    theta = jnp.asarray(random_theta(rng, spec), jnp.float32)
+    n = data.t.shape[0]
+    K = np.asarray(
+        noiseless_gram(spec, theta, data), np.float64
+    )
+    K = jnp.asarray(K + K.T + 0.5 * np.eye(n), jnp.float32)  # generic sym PD-ish
+    nv = jnp.asarray(rng.uniform(0.1, 0.3, size=n), jnp.float32)
+
+    def plain(K, nv):
+        m = data.mask
+        y_eff = data.y * m
+        Km = mask_gram(K, m) + jnp.diag(nv * m)
+        L = jnp.linalg.cholesky(Km)
+        alpha = cho_solve((L, True), y_eff)
+        nlml = 0.5 * jnp.dot(y_eff, alpha) + jnp.sum(jnp.log(jnp.diagonal(L)))
+        return nlml, L, alpha
+
+    def ours(K, nv):
+        res = masked_nlml(K, data.y, nv, data.mask)
+        nlml = res.nlml - 0.5 * jnp.sum(data.mask) * jnp.log(2.0 * REF_PI)
+        return nlml, res.L, res.alpha
+
+    # deterministic probe vectors for the alpha/L cotangent paths
+    probe_a = jnp.asarray(rng.normal(size=n), jnp.float32)
+    probe_L = jnp.asarray(np.tril(rng.normal(size=(n, n))), jnp.float32)
+
+    outs = {
+        "nlml": lambda f: lambda K, nv: f(K, nv)[0],
+        "L": lambda f: lambda K, nv: jnp.sum(f(K, nv)[1] * probe_L),
+        "alpha": lambda f: lambda K, nv: jnp.dot(f(K, nv)[2], probe_a),
+        "mixed": lambda f: lambda K, nv: (
+            f(K, nv)[0] + jnp.dot(f(K, nv)[2], probe_a)
+        ),
+    }
+    for name, pick in outs.items():
+        gK_ref, gn_ref = jax.grad(pick(plain), argnums=(0, 1))(K, nv)
+        gK, gn = jax.grad(pick(ours), argnums=(0, 1))(K, nv)
+        # compare only unmasked entries (the plain path differs on padding),
+        # and symmetrized (K is symmetric upstream, so only dK + dK^T is
+        # identified; JAX's cholesky-VJP and the Q-matrix rule distribute the
+        # off-diagonal mass differently)
+        m = np.asarray(data.mask) > 0
+        sel = np.ix_(m, m)
+        sym = lambda G: (np.asarray(G) + np.asarray(G).T) / 2
+        np.testing.assert_allclose(
+            sym(gK)[sel], sym(gK_ref)[sel],
+            rtol=2e-3, atol=2e-4, err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gn)[m], np.asarray(gn_ref)[m],
+            rtol=2e-3, atol=2e-4, err_msg=name,
+        )

@@ -108,3 +108,37 @@ def test_full_pipeline(synth_experiment):
             cfg.exp_test_dir, "test_mean_wo_update_feature18_mae.bin"
         )
     )
+
+
+@pytest.mark.parametrize("sampler", ["hmc", "nuts"])
+def test_sampler_cohort_stage(synth_experiment, sampler, rng):
+    """The posterior-sampling stage consumes train artifacts and writes
+    posterior-mean + samples files, for both the HMC and NUTS samplers."""
+    cfg, records, fidx = synth_experiment
+    from medgp_tpu.data import formats
+    from medgp_tpu.data.cohort import load_cohort
+    from medgp_tpu.parallel.runner import hmc_cohort
+
+    recs = load_cohort(cfg.data_dir, cfg.pans(), cfg.feature_list)[:2]
+    spec = cfg.spec()
+    for rec in recs:
+        theta = (rng.normal(size=spec.n_hyp) * 0.05).astype(np.float64)
+        theta[: spec.n_lik] = np.log(0.3)
+        formats.write_train_result(
+            cfg.exp_train_dir, rec.pan, theta, init_theta=theta,
+            var_state_flat=None, flag=True, n_obs=rec.n_obs,
+        )
+    out = hmc_cohort(
+        cfg, recs, num_chains=2, num_warmup=20, num_samples=20,
+        num_leapfrog=4, max_depth=3, sampler=sampler, seed=1,
+    )
+    assert len(out) == 2
+    for rec in recs:
+        entry = out[rec.pan]
+        assert entry["samples"].shape[:2] == (2, 20)
+        assert np.all(np.isfinite(entry["post_mean"]))
+        assert os.path.exists(
+            os.path.join(
+                cfg.exp_train_dir, f"train_hmc_mean_{rec.pan}.bin"
+            )
+        )
