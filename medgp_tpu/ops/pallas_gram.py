@@ -152,10 +152,11 @@ _gram_pallas.defvjp(_gram_pallas_fwd, _gram_pallas_bwd)
 
 
 def pallas_supported(n: int) -> bool:
-    # n must tile exactly: the kernel uses tile = min(_TILE, n) and a
-    # (n // tile)^2 grid, so n must be a multiple of the tile (384 would
-    # pass an n % 128 check but leave out-of-grid tiles unwritten).
-    return n % 128 == 0 and (n <= _TILE or n % _TILE == 0)
+    # n must be positive and tile exactly: the kernel uses
+    # tile = min(_TILE, n) and a (n // tile)^2 grid, so n must be a multiple
+    # of the tile (384 would pass an n % 128 check but leave out-of-grid
+    # tiles unwritten; n=0 would divide by zero).
+    return n > 0 and n % 128 == 0 and (n <= _TILE or n % _TILE == 0)
 
 
 def gram_lmcsm_fused(

@@ -8,17 +8,19 @@ Slurm job fan-out with filesystem joins (SURVEY §2.4). Here:
     hosts; the axis then rides ICI within a host/pod slice and DCN across);
   * the cross-patient aggregation points (population clustering inputs,
     cohort metrics) become in-program collectives (`all_gather` of per-patient
-    hyper vectors, `psum` of metric sums) instead of file gathers;
+    hyper vectors inside :func:`population_noise_mode`) instead of file
+    gathers;
   * restart/chain parallelism can occupy a second mesh axis when chips
     outnumber patients.
 
 Everything uses `shard_map` with explicit PartitionSpecs — no reliance on
 auto-spmd for the batch axis — so collective placement is deterministic.
+These builders are the production path: :mod:`medgp_tpu.parallel.runner`
+routes every bucket through them whenever more than one device is visible.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -26,8 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from medgp_tpu.data.inits import random_inits
-from medgp_tpu.infer.map_train import train_one_patient
+from medgp_tpu.infer.map_train import TrainResult, train_one_patient
 from medgp_tpu.models.gp import PatientData
 from medgp_tpu.models.params import KernelSpec, LMCSMSpec
 
@@ -64,16 +65,16 @@ def sharded_train_step(
     """Build the jitted multi-chip training step.
 
     Input: a padded PatientData batch whose leading axis is divisible by the
-    mesh size. Each device trains its local patients (vmap inside shard_map),
-    then the per-patient hyper vectors and flags are all_gathered across the
-    mesh — the in-program replacement for the train->kernclust file boundary
+    mesh size. Each device trains its local patients (vmap inside shard_map)
+    and the full per-patient `TrainResult` comes back SHARDED along the mesh
+    axis — the host gather (np.asarray) or a downstream collective is the
+    in-program replacement for the train->kernclust file boundary
     (train_hyp_*.bin + train_flag_*.txt, main_one_train.cpp:297-323).
-    Returns replicated (thetas (B,H), losses (B,), flags (B,)).
     """
 
     def local_train(t, y, meta, mask):
         def one(t1, y1, m1, k1):
-            r = train_one_patient(
+            return train_one_patient(
                 spec,
                 PatientData(t=t1, y=y1, meta=m1, mask=k1),
                 inits,
@@ -83,14 +84,8 @@ def sharded_train_step(
                 top_iters=top_iters,
                 sub_opt_iter=sub_opt_iter,
             )
-            return r.theta, r.loss, r.flag
 
-        theta, loss, flag = jax.vmap(one)(t, y, meta, mask)
-        # cross-patient gather over ICI: clustering consumes the full set
-        theta_all = jax.lax.all_gather(theta, axis, tiled=True)
-        loss_all = jax.lax.all_gather(loss, axis, tiled=True)
-        flag_all = jax.lax.all_gather(flag, axis, tiled=True)
-        return theta_all, loss_all, flag_all
+        return jax.vmap(one)(t, y, meta, mask)
 
     # check_vma=False: the varying-manual-axes checker rejects while_loop
     # carries initialized from literals (every SCG/varEM loop does this);
@@ -100,41 +95,153 @@ def sharded_train_step(
         local_train,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P()),
+        out_specs=P(axis),
         check_vma=False,
     )
 
     @jax.jit
-    def step(batch: PatientData):
+    def step(batch: PatientData) -> TrainResult:
         return shard(batch.t, batch.y, batch.meta, batch.mask)
 
     return step
 
 
-def clustering_sufficient_stats(mesh: Mesh, axis: str = "patients"):
-    """psum-based cross-patient reduction: per-output noise sums and B-matrix
-    sums for population summaries, computed in-program instead of a file
-    gather (the reference's binaryIO.py:20-35 + mode_estimate.py pipeline
-    reads every train_hyp file from disk)."""
+def sharded_test_step(run_one, mesh: Mesh, axis: str = "patients"):
+    """Shard a vmappable per-patient test function over the mesh.
 
-    def local_stats(noise_std, B_total, flags):
-        w = flags.astype(noise_std.dtype)[:, None]
-        s1 = jax.lax.psum(jnp.sum(noise_std * w, 0), axis)
-        s2 = jax.lax.psum(
-            jnp.sum(B_total * w[..., None], 0), axis
-        )
-        cnt = jax.lax.psum(jnp.sum(flags.astype(jnp.float32)), axis)
-        return s1 / cnt, s2 / cnt, cnt
+    `run_one(t, y, meta, mask, ut, uv)` is the single-patient online
+    imputation (e.g. a partial of
+    :func:`medgp_tpu.infer.online.online_impute`); the result pytree comes
+    back sharded along the patient axis. This is the multi-chip form of the
+    reference's one-test-job-per-patient fan-out (main_one_test.cpp:45-117).
+    """
 
-    return jax.jit(
-        jax.shard_map(
-            local_stats,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis)),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
+    def local(t, y, meta, mask, ut, uv):
+        return jax.vmap(run_one)(t, y, meta, mask, ut, uv)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=P(axis),
+        check_vma=False,
     )
+    return jax.jit(shard)
+
+
+def sharded_sampler_step(run_one, mesh: Mesh, axis: str = "patients"):
+    """Shard a vmappable per-patient posterior sampler over the mesh.
+
+    `run_one(theta0, t, y, meta, mask, key)` runs all chains for one patient
+    (chains vmapped inside); patients shard over chips. Sampler results come
+    back sharded along the patient axis.
+    """
+
+    def local(theta0, t, y, meta, mask, keys):
+        return jax.vmap(run_one)(theta0, t, y, meta, mask, keys)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+# --------------------------------------------------------------------------
+# cross-patient population statistics over ICI
+# --------------------------------------------------------------------------
+
+def _masked_percentile(xs: jnp.ndarray, flags: jnp.ndarray, q: float):
+    """Percentile (linear interpolation, numpy default) of the flagged subset
+    of `xs`, with fixed shapes: masked-out entries sort to +inf and the
+    interpolation rank is computed from the flagged count."""
+    big = jnp.asarray(jnp.inf, xs.dtype)
+    s = jnp.sort(jnp.where(flags > 0, xs, big))
+    n_ok = jnp.sum(flags > 0)
+    rank = (q / 100.0) * (n_ok.astype(xs.dtype) - 1.0)
+    lo = jnp.clip(jnp.floor(rank).astype(jnp.int32), 0, xs.shape[0] - 1)
+    hi = jnp.clip(lo + 1, 0, xs.shape[0] - 1)
+    w = rank - lo.astype(xs.dtype)
+    x_lo, x_hi = s[lo], s[hi]
+    x_hi = jnp.where(hi < n_ok, x_hi, x_lo)  # rank may land on the last entry
+    return x_lo * (1.0 - w) + x_hi * w
+
+
+def masked_weighted_kde_mode(xs: jnp.ndarray, flags: jnp.ndarray):
+    """Density-weighted KDE mode of the flagged subset of `xs` — the exact
+    jittable counterpart of :func:`medgp_tpu.cluster.kde.kde_mode`
+    (weighted=True, Silverman bandwidth; reference:
+    medgpc/clustering/mode_estimate.py:438-450)."""
+    dtype = xs.dtype
+    f = (flags > 0).astype(dtype)
+    n_ok = jnp.sum(f)
+    mean = jnp.sum(xs * f) / jnp.maximum(n_ok, 1.0)
+    var = jnp.sum(f * (xs - mean) ** 2) / jnp.maximum(n_ok - 1.0, 1.0)
+    std = jnp.sqrt(var)
+    q75 = _masked_percentile(xs, flags, 75.0)
+    q25 = _masked_percentile(xs, flags, 25.0)
+    iqr = (q75 - q25) / 1.349
+    sigma = jnp.where(iqr > 0, jnp.minimum(std, iqr), std)
+    x_first = xs[jnp.argmax(f)]  # first flagged element (degenerate guard)
+    sigma = jnp.where(
+        sigma > 0, sigma, jnp.maximum(jnp.abs(x_first), 1.0) * 1e-6
+    )
+    bw = 0.9 * sigma * jnp.maximum(n_ok, 1.0) ** (-0.2)
+
+    z = (xs[:, None] - xs[None, :]) / bw
+    dens = jnp.sum(
+        jnp.exp(-0.5 * z * z) * f[None, :], axis=1
+    ) / (jnp.maximum(n_ok, 1.0) * bw * jnp.sqrt(2.0 * jnp.asarray(np.pi, dtype)))
+    wsum = jnp.sum(f * dens)
+    mode = jnp.where(
+        wsum > 0, jnp.sum(f * xs * dens) / wsum,
+        jnp.sum(f * xs) / jnp.maximum(n_ok, 1.0),
+    )
+    return jnp.where(n_ok == 1, x_first, mode)
+
+
+def population_noise_mode(
+    spec: LMCSMSpec, mesh: Mesh, axis: str = "patients"
+):
+    """In-program cross-patient noise-mode estimation over ICI.
+
+    Computes the noise block of the population mode kernel — per output d,
+    the density-weighted KDE mode over trained patients' exp(theta_d)
+    (mode_estimate.py:267-279) — directly from the SHARDED training results:
+    each device contributes its local patients' noise hypers and flags, an
+    `all_gather` assembles the population on every device, and the KDE mode
+    is evaluated in-program. This replaces the reference's file gather
+    (binaryIO.py:20-35 reads every train_hyp_*.bin from disk) for the fused
+    pipeline; :func:`medgp_tpu.cluster.mode.mode_kernel_lmcsm` computes the
+    same numbers host-side for the staged/reference-compatible path.
+
+    Returns a jitted fn (theta_shard (B,H) sharded, flags (B,) sharded) ->
+    (D,) log noise modes, replicated.
+    """
+    D = spec.n_lik
+
+    def local(thetas, flags):
+        noise = jnp.exp(thetas[:, :D])  # (b_local, D)
+        noise_all = jax.lax.all_gather(noise, axis, tiled=True)    # (B, D)
+        flags_all = jax.lax.all_gather(
+            flags.astype(jnp.float32), axis, tiled=True
+        )
+        modes = jax.vmap(masked_weighted_kde_mode, in_axes=(1, None))(
+            noise_all, flags_all
+        )
+        return jnp.log(modes)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(shard)
 
 
 def large_patient_nlml(spec: LMCSMSpec, mesh: Mesh, axis: str = "patients"):

@@ -1,10 +1,14 @@
 """Cohort-level execution: batched training and testing over padded buckets.
 
-This is the single-host engine replacing the reference's one-Slurm-job-per-
+This is the production engine replacing the reference's one-Slurm-job-per-
 patient fan-out (run_exp_generator.py:213-263): each padded bucket of
 patients runs as ONE jitted, vmapped program; buckets reuse compiled
-executables across equal shapes. The multi-chip variants in
-:mod:`medgp_tpu.parallel.mesh` shard the same batch axis over a device mesh.
+executables across equal shapes. Whenever more than one device is visible
+(one host's chips, or a pod slice under `jax.distributed`), every bucket is
+sharded over the device mesh via the shard_map builders in
+:mod:`medgp_tpu.parallel.mesh` — patients over chips, results gathered back
+to the host in one transfer (the in-memory replacement for the reference's
+per-patient result files).
 """
 
 from __future__ import annotations
@@ -40,6 +44,30 @@ def _batch_data(b: PaddedBatch) -> PatientData:
     )
 
 
+def _mesh_or_none(use_mesh: Optional[bool]):
+    """The production mesh policy: shard over all visible devices when there
+    is more than one (use_mesh=None), or as forced by the caller."""
+    from medgp_tpu.parallel.mesh import cohort_mesh
+
+    devices = jax.devices()
+    on = use_mesh if use_mesh is not None else len(devices) > 1
+    return cohort_mesh(devices) if on else None
+
+
+def _pad_rows(a: np.ndarray, b_target: int) -> np.ndarray:
+    if a.shape[0] == b_target:
+        return a
+    pad = b_target - a.shape[0]
+    return np.concatenate(
+        [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+    )
+
+
+def _mesh_multiple(B: int, mesh) -> int:
+    n_dev = mesh.devices.size
+    return -(-B // n_dev) * n_dev
+
+
 # --------------------------------------------------------------------------
 # training
 # --------------------------------------------------------------------------
@@ -52,6 +80,7 @@ def train_cohort(
     max_batch: int = 64,
     screen_chunk: int = 32,
     ckpt_dir: Optional[str] = None,
+    use_mesh: Optional[bool] = None,
 ) -> Dict[str, dict]:
     """Train every patient; returns {pan: result dict} and optionally writes
     the reference train artifacts.
@@ -59,6 +88,10 @@ def train_cohort(
     The restart set is shared by all patients, matching the reference where
     every per-patient process seeds `srand(random_seed)` identically and
     generates the same init sequence (c_experiment.cpp:418-441).
+
+    With more than one visible device (or use_mesh=True) each bucket is
+    padded to a mesh multiple and trained through the shard_map path —
+    patients over chips; use_mesh=False forces the single-device jit(vmap).
 
     With `ckpt_dir`, completed buckets are checkpointed and a re-run resumes
     at the first unfinished bucket (the whole-run resumability the
@@ -87,17 +120,28 @@ def train_cohort(
         sub_opt_iter=cfg.iteration_num_per_update,
     )
 
-    @partial(jax.jit, static_argnames=())
-    def run_batch(data: PatientData):
-        def one(t, y, meta, mask):
-            return train_one_patient(
-                spec,
-                PatientData(t=t, y=y, meta=meta, mask=mask),
-                inits,
-                **train_kwargs,
-            )
+    mesh = _mesh_or_none(use_mesh)
+    if mesh is not None:
+        from medgp_tpu.parallel.mesh import pad_batch_to, sharded_train_step
 
-        return jax.vmap(one)(data.t, data.y, data.meta, data.mask)
+        step = sharded_train_step(spec, mesh, inits, **train_kwargs)
+
+        def run_batch(data: PatientData):
+            B = data.t.shape[0]
+            res = step(pad_batch_to(data, _mesh_multiple(B, mesh)))
+            return jax.tree.map(lambda a: a[:B], res)
+    else:
+        @partial(jax.jit, static_argnames=())
+        def run_batch(data: PatientData):
+            def one(t, y, meta, mask):
+                return train_one_patient(
+                    spec,
+                    PatientData(t=t, y=y, meta=meta, mask=mask),
+                    inits,
+                    **train_kwargs,
+                )
+
+            return jax.vmap(one)(data.t, data.y, data.meta, data.mask)
 
     out: Dict[str, dict] = {}
     for bidx, b in enumerate(batches):
@@ -124,8 +168,10 @@ def train_cohort(
             res = jax.block_until_ready(run_batch(_batch_data(b)))
             dt = time.time() - t0
             log.info(
-                "trained bucket n_max=%d B=%d in %.1fs (%.2f patients/s)",
-                b.n_max, len(b), dt, len(b) / dt,
+                "trained bucket n_max=%d B=%d on %d device(s) in %.1fs "
+                "(%.2f patients/s)",
+                b.n_max, len(b), 1 if mesh is None else mesh.devices.size,
+                dt, len(b) / dt,
             )
             theta = np.asarray(res.theta, np.float64)
             init_theta = np.asarray(res.init_theta, np.float64)
@@ -173,7 +219,7 @@ def train_cohort(
 
 
 # --------------------------------------------------------------------------
-# HMC posterior sampling
+# HMC/NUTS posterior sampling
 # --------------------------------------------------------------------------
 
 def hmc_cohort(
@@ -188,22 +234,35 @@ def hmc_cohort(
     seed: int = 0,
     sampler: str = "hmc",
     max_depth: int = 6,
+    max_batch: int = 8,
+    use_mesh: Optional[bool] = None,
 ) -> Dict[str, dict]:
-    """Posterior sampling for every trained patient (the capability the
-    reference lacks). Initializes each patient's chains at its MAP hypers
+    """Posterior inference for every trained patient (the capability the
+    reference lacks). Initializes each patient at its MAP hypers
     (train_hyp_*.bin) and writes posterior artifacts next to them:
-    train_hmc_mean_{pan}.bin (flat posterior-mean theta, reference double-bin
-    format) and train_hmc_samples_{pan}.npz (chains x samples x H plus
-    diagnostics). `sampler` is "hmc" (jittered trajectories, `num_leapfrog`)
-    or "nuts" (adaptive trajectories, `max_depth`)."""
+    train_{hmc|vi}_mean_{pan}.bin (flat posterior-mean theta, reference
+    double-bin format) and train_{hmc|vi}_samples_{pan}.npz (chains x samples
+    x H plus diagnostics). `sampler` is "hmc" (jittered trajectories,
+    `num_leapfrog`), "nuts" (adaptive trajectories, `max_depth`), or "vi"
+    (mean-field ADVI; `num_samples` draws from the fitted q, `num_warmup`
+    reused as the number of ADVI optimization steps).
+
+    Patients are bucketed and padded like the train path — each bucket runs
+    chains x patients as ONE program (sharded over the mesh when more than
+    one device is visible); buckets of equal shape reuse the compiled
+    executable instead of re-jitting per distinct n.
+    """
     import os
 
     from medgp_tpu.infer.hmc import hmc_patient
     from medgp_tpu.infer.nuts import nuts_patient
+    from medgp_tpu.infer.vi import vi_patient
     from medgp_tpu.models.priors import hier_gamma_prior
 
-    if sampler not in ("hmc", "nuts"):
-        raise ValueError(f"unknown sampler {sampler!r} (use 'hmc' or 'nuts')")
+    if sampler not in ("hmc", "nuts", "vi"):
+        raise ValueError(
+            f"unknown sampler {sampler!r} (use 'hmc', 'nuts' or 'vi')"
+        )
 
     spec = cfg.spec()
     prior = (
@@ -217,66 +276,106 @@ def hmc_cohort(
     by_pan = {p: h for p, h in zip(pans, hyps)}
     key = jax.random.key(seed)
 
+    common = dict(
+        prior=prior, num_chains=num_chains,
+        num_warmup=num_warmup, num_samples=num_samples,
+        init_step_size=init_step_size,
+    )
+
+    def one(theta0, t, y, meta, mask, sub):
+        data = PatientData(t=t, y=y, meta=meta, mask=mask)
+        if sampler == "nuts":
+            return nuts_patient(
+                spec, data, theta0, sub, max_depth=max_depth, **common
+            )
+        if sampler == "vi":
+            return vi_patient(
+                spec, data, theta0, sub, prior=prior,
+                num_steps=num_warmup, num_samples=num_samples,
+            )
+        return hmc_patient(
+            spec, data, theta0, sub, num_leapfrog=num_leapfrog, **common
+        )
+
+    mesh = _mesh_or_none(use_mesh)
+    if mesh is not None:
+        from medgp_tpu.parallel.mesh import sharded_sampler_step
+
+        run_bucket = sharded_sampler_step(one, mesh)
+    else:
+        run_bucket = jax.jit(jax.vmap(one))
+
+    trained = [r for r in records if r.pan in by_pan and r.n_obs > 0]
+    batches = pack_patients(trained, max_batch=max_batch)
+
     out: Dict[str, dict] = {}
-    for rec in records:
-        if rec.pan not in by_pan:
-            continue
-        n = rec.n_obs
-        data = PatientData(
-            t=jnp.asarray(rec.t),
-            y=jnp.asarray(rec.y),
-            meta=jnp.asarray(rec.meta),
-            mask=jnp.ones(n, jnp.float32),
+    for b in batches:
+        B = len(b)
+        Bp = B if mesh is None else _mesh_multiple(B, mesh)
+        theta0s = _pad_rows(
+            np.stack([by_pan[p] for p in b.pans]).astype(np.float32), Bp
         )
         key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, Bp)
         t0 = time.time()
-        common = dict(
-            prior=prior, num_chains=num_chains,
-            num_warmup=num_warmup, num_samples=num_samples,
-            init_step_size=init_step_size,
-        )
-        theta0 = jnp.asarray(by_pan[rec.pan], jnp.float32)
-        if sampler == "nuts":
-            res = jax.block_until_ready(
-                nuts_patient(spec, data, theta0, sub,
-                             max_depth=max_depth, **common)
+        res = jax.block_until_ready(
+            run_bucket(
+                jnp.asarray(theta0s),
+                jnp.asarray(_pad_rows(b.t, Bp)),
+                jnp.asarray(_pad_rows(b.y, Bp)),
+                jnp.asarray(_pad_rows(b.meta, Bp)),
+                jnp.asarray(_pad_rows(b.mask, Bp)),
+                keys,
             )
-        else:
-            res = jax.block_until_ready(
-                hmc_patient(spec, data, theta0, sub,
-                            num_leapfrog=num_leapfrog, **common)
-            )
-        samples = np.asarray(res.samples)           # (C, S, H)
-        post_mean = samples.reshape(-1, samples.shape[-1]).mean(0)
-        diag = dict(
-            accept_rate=np.asarray(res.accept_rate),
-            step_size=np.asarray(res.step_size),
-            divergences=np.asarray(res.divergences),
         )
+        dt = time.time() - t0
+        chains = 1 if sampler == "vi" else num_chains
         log.info(
-            "hmc %s: %d chains x %d samples in %.1fs "
-            "(accept=%.2f..%.2f, div=%d)",
-            rec.pan, num_chains, num_samples, time.time() - t0,
-            float(diag["accept_rate"].min()),
-            float(diag["accept_rate"].max()),
-            int(diag["divergences"].sum()),
+            "%s bucket B=%d n_max=%d: %d chains x %d samples/patient in "
+            "%.1fs (%.1f samples/s)",
+            sampler, B, b.n_max, chains, num_samples, dt,
+            B * chains * num_samples / dt,
         )
-        out[rec.pan] = dict(
-            samples=samples, post_mean=post_mean, **diag
-        )
-        if write:
-            formats.write_double_bin(
-                os.path.join(
-                    cfg.exp_train_dir, f"train_hmc_mean_{rec.pan}.bin"
-                ),
-                post_mean,
-            )
-            np.savez(
-                os.path.join(
-                    cfg.exp_train_dir, f"train_hmc_samples_{rec.pan}.npz"
-                ),
-                samples=samples, **diag,
-            )
+        if sampler == "vi":
+            samples_all = np.asarray(res.samples)[:, None]  # (Bp, 1, S, H)
+            diags_all = [
+                dict(elbo=np.asarray(res.elbo)[i],
+                     converged=np.asarray(res.converged)[i],
+                     log_std=np.asarray(res.log_std)[i])
+                for i in range(Bp)
+            ]
+            # the variational mean is the posterior mean, exactly
+            means_all = np.asarray(res.mean)
+        else:
+            samples_all = np.asarray(res.samples)        # (Bp, C, S, H)
+            diags_all = [
+                dict(accept_rate=np.asarray(res.accept_rate)[i],
+                     step_size=np.asarray(res.step_size)[i],
+                     divergences=np.asarray(res.divergences)[i])
+                for i in range(Bp)
+            ]
+            means_all = samples_all.reshape(
+                Bp, -1, samples_all.shape[-1]
+            ).mean(1)
+        prefix = "vi" if sampler == "vi" else "hmc"
+        for i, pan in enumerate(b.pans):
+            samples = samples_all[i]
+            post_mean = means_all[i]
+            diag = diags_all[i]
+            out[pan] = dict(samples=samples, post_mean=post_mean, **diag)
+            if write:
+                formats.write_double_bin(
+                    os.path.join(
+                        cfg.exp_train_dir, f"train_{prefix}_mean_{pan}.bin"
+                    ),
+                    post_mean,
+                )
+                np.savez(
+                    os.path.join(
+                        cfg.exp_train_dir, f"train_{prefix}_samples_{pan}.npz"
+                    ),
+                    samples=samples, **diag,
+                )
     return out
 
 
@@ -318,6 +417,7 @@ def test_cohort(
     write: bool = True,
     modes=("mean_wo_update", "mean_w_update"),
     max_batch: int = 32,
+    use_mesh: Optional[bool] = None,
 ) -> Dict[str, dict]:
     """Online imputation for every patient with the fold's mode kernel.
 
@@ -325,12 +425,20 @@ def test_cohort(
     fold, run_exp_generator.py:237-239); None uses fold -1 ("all").
 
     Patients are bucketed and padded like the train path, and each bucket
-    runs as ONE jitted vmapped program per test mode; unique timestamps are
-    padded to the bucket length so compiled shapes are reused across buckets
-    of equal n_max (the per-patient variant recompiled for every distinct n).
+    runs as ONE jitted vmapped program per test mode (sharded over the mesh
+    when more than one device is visible); unique timestamps are padded to
+    the bucket length so compiled shapes are reused across buckets of equal
+    n_max (the per-patient variant recompiled for every distinct n).
+
+    The reference records a wall-time per prediction in test_*_etime files
+    (main_one_test.cpp:446-472). Batched execution has no per-observation
+    clock, so etime carries the honest analog: the bucket wall-time amortized
+    per prediction (identical within a bucket+mode).
     """
     feature_list = cfg.feature_list
     out: Dict[str, dict] = {}
+
+    mesh = _mesh_or_none(use_mesh)
 
     folds = (
         np.full(len(records), -1, int) if folds is None else np.asarray(folds)
@@ -372,35 +480,48 @@ def test_cohort(
                     map_batch_size=chunk,
                 )
 
+            if mesh is not None:
+                from medgp_tpu.parallel.mesh import sharded_test_step
+
+                return sharded_test_step(one, mesh)
             return jax.jit(jax.vmap(one))
 
         runners: Dict[tuple, object] = {}
         for b in batches:
             B, n_max = len(b), b.n_max
+            Bp = B if mesh is None else _mesh_multiple(B, mesh)
             # unique timestamps padded to the bucket length (T <= n always)
-            ut = np.zeros((B, n_max), np.float32)
-            uv = np.zeros((B, n_max), bool)
+            ut = np.zeros((Bp, n_max), np.float32)
+            uv = np.zeros((Bp, n_max), bool)
             for i in range(B):
                 u, v = unique_times(b.t[i], b.mask[i], pad_to=n_max)
                 ut[i], uv[i] = u, v
             data_args = (
-                jnp.asarray(b.t), jnp.asarray(b.y),
-                jnp.asarray(b.meta), jnp.asarray(b.mask),
+                jnp.asarray(_pad_rows(b.t, Bp)),
+                jnp.asarray(_pad_rows(b.y, Bp)),
+                jnp.asarray(_pad_rows(b.meta, Bp)),
+                jnp.asarray(_pad_rows(b.mask, Bp)),
                 jnp.asarray(ut), jnp.asarray(uv),
             )
-            chunk = _test_chunk_size(B, n_max)
+            chunk = _test_chunk_size(Bp, n_max)
             res_by_mode = {}
+            etime_by_mode = {}
+            total_obs = int(np.sum(b.mask))
             for m in modes:
-                key = (m, n_max, chunk)
-                if key not in runners:
-                    runners[key] = run_mode(m == "mean_w_update", chunk)
+                rkey = (m, n_max, chunk)
+                if rkey not in runners:
+                    runners[rkey] = run_mode(m == "mean_w_update", chunk)
                 t0 = time.time()
                 res_by_mode[m] = jax.block_until_ready(
-                    runners[key](*data_args)
+                    runners[rkey](*data_args)
                 )
+                dt = time.time() - t0
+                etime_by_mode[m] = dt / max(total_obs, 1)
                 log.info(
-                    "tested bucket fold=%s mode=%s n_max=%d B=%d in %.1fs",
-                    fold, m, n_max, B, time.time() - t0,
+                    "tested bucket fold=%s mode=%s n_max=%d B=%d on %d "
+                    "device(s) in %.1fs",
+                    fold, m, n_max, B,
+                    1 if mesh is None else mesh.devices.size, dt,
                 )
 
             for i, pan in enumerate(b.pans):
@@ -415,9 +536,10 @@ def test_cohort(
                     feat = np.asarray(
                         [feature_list[j] for j in b.meta[i][order]], int
                     )
-                    etime = np.zeros(len(order))
+                    etime = np.full(len(order), etime_by_mode[m])
                     entry[m] = dict(
-                        flag=True, pred=pred, error=err, ci=ci, feature=feat
+                        flag=True, pred=pred, error=err, ci=ci, feature=feat,
+                        etime=etime,
                     )
                     if write:
                         formats.write_test_result(

@@ -44,9 +44,14 @@ def test_sharded_train_matches_single_device(rng):
     step = sharded_train_step(
         spec, mesh, inits, prior_mode=2, top_iters=2, sub_opt_iter=8
     )
-    thetas, losses, flags = jax.block_until_ready(step(batch))
+    res = jax.block_until_ready(step(batch))
+    thetas, losses, flags = res.theta, res.loss, res.flag
     assert thetas.shape == (8, spec.n_hyp)
     assert bool(jnp.all(flags))
+    # the result comes back SHARDED over the patient axis (one shard per
+    # device), not replicated — this is what makes the mesh path scale
+    shard_rows = {s.data.shape[0] for s in thetas.addressable_shards}
+    assert shard_rows == {1}, shard_rows
 
     # single-device reference: plain vmap of the same training
     from medgp_tpu.infer.map_train import train_one_patient
@@ -77,6 +82,31 @@ def test_sharded_train_matches_single_device(rng):
         d = PatientData(batch.t[i], batch.y[i], batch.meta[i], batch.mask[i])
         v, _ = nlml_fn(spec, d)(thetas[i])
         assert np.isfinite(float(v))
+
+
+def test_population_noise_mode_matches_host_kde(rng):
+    """The ICI all_gather + in-program KDE noise mode must equal the
+    host-side clustering path's density-weighted KDE mode per output."""
+    from medgp_tpu.cluster.kde import kde_mode
+    from medgp_tpu.parallel.mesh import population_noise_mode
+
+    spec = LMCSMSpec(1, 2, 1)
+    mesh = cohort_mesh()
+    B = 16
+    thetas = rng.normal(size=(B, spec.n_hyp)).astype(np.float32)
+    flags = (rng.uniform(size=B) > 0.25).astype(np.float32)
+    if flags.sum() < 2:
+        flags[:2] = 1.0
+
+    fn = population_noise_mode(spec, mesh)
+    got = np.asarray(fn(jnp.asarray(thetas), jnp.asarray(flags)))
+    assert got.shape == (spec.n_lik,)
+
+    ok = flags > 0
+    for d in range(spec.n_lik):
+        want = kde_mode(np.exp(thetas[ok, d].astype(np.float64)),
+                        weighted=True)
+        np.testing.assert_allclose(got[d], np.log(want), rtol=2e-3)
 
 
 def test_pad_batch_to(rng):
