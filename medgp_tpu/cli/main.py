@@ -250,8 +250,9 @@ def build_parser():
     h.add_argument("--samples", type=int, default=300)
     h.add_argument("--leapfrog", type=int, default=16)
     h.add_argument(
-        "--sampler", choices=("hmc", "nuts"), default="hmc",
-        help="hmc = jittered fixed trajectories; nuts = adaptive "
+        "--sampler", choices=("hmc", "nuts", "vi"), default="hmc",
+        help="hmc = jittered fixed trajectories; vi = mean-field ADVI "
+        "(--warmup steps of ELBO ascent, --samples draws); nuts = adaptive "
              "trajectory lengths (fixed-shape iterative tree)",
     )
     h.add_argument(

@@ -110,10 +110,10 @@ def test_full_pipeline(synth_experiment):
     )
 
 
-@pytest.mark.parametrize("sampler", ["hmc", "nuts"])
+@pytest.mark.parametrize("sampler", ["hmc", "nuts", "vi"])
 def test_sampler_cohort_stage(synth_experiment, sampler, rng):
-    """The posterior-sampling stage consumes train artifacts and writes
-    posterior-mean + samples files, for both the HMC and NUTS samplers."""
+    """The posterior-inference stage consumes train artifacts and writes
+    posterior-mean + samples files, for HMC, NUTS and mean-field VI."""
     cfg, records, fidx = synth_experiment
     from medgp_tpu.data import formats
     from medgp_tpu.data.cohort import load_cohort
@@ -133,12 +133,14 @@ def test_sampler_cohort_stage(synth_experiment, sampler, rng):
         num_leapfrog=4, max_depth=3, sampler=sampler, seed=1,
     )
     assert len(out) == 2
+    prefix = "vi" if sampler == "vi" else "hmc"
+    want_chains = 1 if sampler == "vi" else 2
     for rec in recs:
         entry = out[rec.pan]
-        assert entry["samples"].shape[:2] == (2, 20)
+        assert entry["samples"].shape[:2] == (want_chains, 20)
         assert np.all(np.isfinite(entry["post_mean"]))
         assert os.path.exists(
             os.path.join(
-                cfg.exp_train_dir, f"train_hmc_mean_{rec.pan}.bin"
+                cfg.exp_train_dir, f"train_{prefix}_mean_{rec.pan}.bin"
             )
         )
