@@ -53,11 +53,14 @@ def read_int_txt(path: str) -> np.ndarray:
 # ---------- raw patient data ----------
 
 def write_feature_txt(path: str, t: np.ndarray, v: np.ndarray) -> None:
-    n = len(t)
-    with open(path, "w") as f:
-        f.write(f"{n}\n")
-        for ti, vi in zip(np.asarray(t), np.asarray(v)):
-            f.write(f"{ti:.6f} {vi:.6f}\n")
+    """One value per line, [n, t1, v1, t2, v2, ...] — the exact layout the
+    reference cohort ETL emits (jmlr_mimic_heart_failure.py:284-285
+    `np.savetxt(..., delimiter='\\n')`) and its flat `np.loadtxt` reader
+    requires (binaryIO.py:38-43 `load_ts_data`)."""
+    data = np.hstack(
+        [[len(t)], np.vstack([np.asarray(t), np.asarray(v)]).T.reshape(-1)]
+    )
+    np.savetxt(path, data, delimiter="\n", fmt="%6.6f")
 
 
 def read_feature_txt(path: str):

@@ -39,7 +39,12 @@ def test_feature_txt_roundtrip(tmp_path, rng):
     t2, v2 = formats.read_feature_txt(p)
     np.testing.assert_allclose(t2, t, atol=1e-6)
     np.testing.assert_allclose(v2, v, atol=1e-6)
-    assert open(p).readline().strip() == "9"
+    # one value per line, count written as a float — the exact reference
+    # layout (jmlr_mimic_heart_failure.py:284-285 savetxt fmt='%6.6f';
+    # the C++ reader parses it into `float vec_len`, c_experiment.cpp:260)
+    lines = open(p).read().split()
+    assert lines[0] == "9.000000"
+    assert len(lines) == 1 + 2 * 9
 
 
 def test_hyp_bounds_roundtrip(tmp_path, rng):
