@@ -99,11 +99,15 @@ def cmd_kernclust(args):
         if args.fold is not None
         else list(range(-1, cfg.cv_fold_num))
     )
+    from medgp_tpu.parallel.runner import stage_metrics
+
+    metrics = stage_metrics(cfg)
     cv = cfg.cv_assign()
     for fold in folds:
         mode_theta, newQ = kernel_clustering_fold(
             cfg.spec(), cfg.exp_train_dir, cfg.exp_kernel_dir,
             cfg.pans(), cv, fold, algorithm=args.alg, seed=cfg.random_seed,
+            metrics=metrics,
         )
         log.info("fold %d: %d mode mixture components", fold, newQ)
 
@@ -128,10 +132,11 @@ def cmd_test(args):
 def cmd_eval(args):
     cfg = _load_cfg(args.cfg)
     from medgp_tpu.evaluation.evals import eval_cohort, summarize
+    from medgp_tpu.parallel.runner import stage_metrics
 
     res = eval_cohort(
         cfg.data_dir, cfg.exp_test_dir, args.test_mode,
-        cfg.feature_list, cfg.pans(),
+        cfg.feature_list, cfg.pans(), metrics=stage_metrics(cfg),
     )
     s = summarize(res)
     log.info(
@@ -161,22 +166,68 @@ def cmd_hmc(args):
 
 
 def cmd_run(args):
-    """Fused pipeline: train -> kernclust (all folds) -> test -> eval."""
+    """Fused pipeline: train -> kernclust (all folds) -> test -> eval.
+
+    Unlike the reference's five file-joined batch stages
+    (run_exp_generator.py:213-263), training results flow straight into
+    clustering in memory; on a multi-device mesh the population noise mode
+    is computed over ICI (all_gather + KDE) instead of a host re-derivation.
+    Files are still written at every old stage boundary for inspection.
+    """
     cfg = _load_cfg(args.cfg)
-    from medgp_tpu.cluster.pipeline import kernel_clustering_fold
+    import numpy as _np
+
+    from medgp_tpu.cluster.pipeline import kernel_clustering_fold_in_memory
     from medgp_tpu.evaluation.evals import eval_cohort, summarize
     from medgp_tpu.parallel.runner import test_cohort, train_cohort
 
     t0 = time.time()
     records = _load_records(cfg)
-    train_cohort(cfg, records, n_restarts=args.restarts)
+    tout = train_cohort(cfg, records, n_restarts=args.restarts)
     log.info("[run] train done at %.1fs", time.time() - t0)
 
+    trained_pans = [p for p, r in tout.items() if r["flag"]]
+    hyps = _np.stack([tout[p]["theta"] for p in trained_pans])
+
+    # in-program cross-patient collective: log noise modes over ICI
+    noise_mode = None
+    import jax
+
+    from medgp_tpu.models.params import LMCSMSpec
+
+    spec = cfg.spec()
+    if len(jax.devices()) > 1 and isinstance(spec, LMCSMSpec):
+        import jax.numpy as jnp
+
+        from medgp_tpu.parallel.mesh import cohort_mesh, population_noise_mode
+
+        mesh = cohort_mesh()
+        n_dev = mesh.devices.size
+        P = len(trained_pans)
+        pad = (-P) % n_dev
+        th = _np.concatenate(
+            [hyps, _np.zeros((pad, hyps.shape[1]))]
+        ).astype(_np.float32)
+        fl = _np.concatenate([_np.ones(P), _np.zeros(pad)]).astype(
+            _np.float32
+        )
+        noise_mode = _np.asarray(
+            population_noise_mode(spec, mesh)(
+                jnp.asarray(th), jnp.asarray(fl)
+            ),
+            _np.float64,
+        )
+        log.info("[run] ICI noise mode: %s", _np.round(noise_mode, 4))
+
+    from medgp_tpu.parallel.runner import stage_metrics
+
+    metrics = stage_metrics(cfg)
     cv = cfg.cv_assign()
     for fold in range(-1, cfg.cv_fold_num):
-        kernel_clustering_fold(
-            cfg.spec(), cfg.exp_train_dir, cfg.exp_kernel_dir,
-            cfg.pans(), cv, fold, algorithm=args.alg, seed=cfg.random_seed,
+        kernel_clustering_fold_in_memory(
+            spec, cfg.exp_kernel_dir, trained_pans, hyps, cv, cfg.pans(),
+            fold, algorithm=args.alg, seed=cfg.random_seed,
+            noise_mode=noise_mode, metrics=metrics,
         )
     log.info("[run] kernclust done at %.1fs", time.time() - t0)
 
@@ -189,7 +240,8 @@ def cmd_run(args):
     summary = {}
     for mode in ("mean_wo_update", "mean_w_update"):
         res = eval_cohort(
-            cfg.data_dir, cfg.exp_test_dir, mode, cfg.feature_list, pans
+            cfg.data_dir, cfg.exp_test_dir, mode, cfg.feature_list, pans,
+            metrics=metrics,
         )
         summary[mode] = summarize(res)
     log.info("[run] done in %.1fs: %s", time.time() - t0, summary)

@@ -122,7 +122,12 @@ def _fit_single(key, X, k, max_iter, tol, reg):
 
     init = (p0, jnp.asarray(jnp.inf, X.dtype), jnp.asarray(-jnp.inf, X.dtype),
             jnp.asarray(0, jnp.int32))
-    p, ll, _, n_it = jax.lax.while_loop(cond, body, init)
+    # masked while: under vmap over n_init a converged member must freeze,
+    # not keep running EM until the whole batch converges (same hazard the
+    # SCG line search documents in infer/scg.py:_masked_while)
+    from medgp_tpu.infer.scg import _masked_while
+
+    p, ll, _, n_it = _masked_while(cond, body, init)
     _, final_ll = _e_step(X, p, reg)
     return p, final_ll
 

@@ -33,17 +33,28 @@ def mode_kernel_lmcsm(
     comp_qidx: np.ndarray,
     cluster_num: int,
     cluster_assign: np.ndarray,
+    noise_mode: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Returns the flat mode theta for an LMCSMSpec(newQ, D, R) kernel."""
+    """Returns the flat mode theta for an LMCSMSpec(newQ, D, R) kernel.
+
+    `noise_mode` optionally supplies the (D,) log noise-mode block computed
+    in-program over the device mesh (parallel/mesh.py:population_noise_mode,
+    an all_gather + KDE over ICI) — the fused pipeline's replacement for
+    re-deriving it host-side from gathered hypers; the two are proven equal
+    in tests/test_mesh.py.
+    """
     Q, D, R = spec.Q, spec.D, spec.R
     P = hyps.shape[0]
     newQ = int(cluster_num)
     out = np.zeros(D + newQ * (D * R + 2 + D))
 
     # noise modes (weighted; mode_estimate.py:267-279)
-    for d in range(D):
-        all_nu = np.exp(hyps[:, d])
-        out[d] = np.log(kde_mode(all_nu, weighted=True))
+    if noise_mode is not None:
+        out[:D] = np.asarray(noise_mode, np.float64)
+    else:
+        for d in range(D):
+            all_nu = np.exp(hyps[:, d])
+            out[d] = np.log(kde_mode(all_nu, weighted=True))
 
     pan_index = {p: i for i, p in enumerate(pans)}
     A_all = hyps[:, D : D + Q * D * R].reshape(P, Q, D, R)

@@ -36,11 +36,13 @@ def cluster_kernels(
     algorithm: str = "gmm",
     max_cluster_num: int | None = None,
     seed: int = 0,
+    noise_mode: np.ndarray | None = None,
 ):
     """In-memory clustering + mode estimation.
 
     Returns (mode_theta, newQ). `hyps` is (P, H) flat theta of successfully
-    trained patients.
+    trained patients. `noise_mode` optionally carries the (D,) log
+    noise-mode block already computed over the device mesh (LMC-SM only).
     """
     pans = np.asarray(pans)
     comp_pan, comp_qidx, comp_feat = extract_kernel_features(spec, pans, hyps)
@@ -55,13 +57,59 @@ def cluster_kernels(
     )
     if isinstance(spec, LMCSMSpec):
         mode_theta = mode_kernel_lmcsm(
-            spec, pans, hyps, comp_pan, comp_qidx, cluster_num, cluster_assign
+            spec, pans, hyps, comp_pan, comp_qidx, cluster_num,
+            cluster_assign, noise_mode=noise_mode,
         )
     else:
         mode_theta = mode_kernel_sm(
             spec, pans, hyps, comp_pan, comp_qidx, cluster_num, cluster_assign
         )
     return mode_theta, int(cluster_num)
+
+
+def kernel_clustering_fold_in_memory(
+    spec,
+    kernel_dir: str,
+    pans: np.ndarray,
+    hyps: np.ndarray,
+    cv_assign: np.ndarray,
+    all_pans: Sequence[str],
+    fold: int,
+    algorithm: str = "gmm",
+    seed: int = 0,
+    noise_mode: np.ndarray | None = None,
+    metrics=None,
+):
+    """Fold clustering fed directly from in-memory training results — the
+    fused pipeline's train->kernclust handoff with no file round-trip
+    (replaces the reference's gather of every train_hyp_*.bin from disk,
+    binaryIO.py:20-35). Mode-kernel files are still written for inspection
+    and for the reference-compatible test stage.
+
+    `pans`/`hyps` are the successfully trained patients (any order);
+    `cv_assign` is indexed by position in `all_pans`.
+    """
+    pans = np.asarray([str(p) for p in pans])
+    fold_of = {
+        str(p): int(f) for p, f in zip(all_pans, np.asarray(cv_assign))
+    }
+    if fold != -1:
+        keep = np.asarray([fold_of[p] != fold for p in pans])
+    else:
+        keep = np.ones(len(pans), bool)
+    if not keep.any():
+        raise RuntimeError(f"no trained patients for fold {fold}")
+    mode_theta, newQ = cluster_kernels(
+        spec, pans[keep], hyps[keep], algorithm=algorithm, seed=seed,
+        noise_mode=noise_mode if fold == -1 else None,
+    )
+    formats.write_mode_kernel(kernel_dir, fold, algorithm, mode_theta, newQ)
+    if metrics is not None:
+        metrics.write(
+            "kernclust", fold=int(fold), algorithm=algorithm,
+            patients=int(keep.sum()), mixture_num=int(newQ),
+        )
+    return mode_theta, newQ
 
 
 def kernel_clustering_fold(
@@ -73,6 +121,7 @@ def kernel_clustering_fold(
     fold: int,
     algorithm: str = "gmm",
     seed: int = 0,
+    metrics=None,
 ):
     """File-based fold clustering (the reference CLI's unit of work)."""
     all_pans = np.asarray([str(p) for p in all_pans])
@@ -90,4 +139,9 @@ def kernel_clustering_fold(
         spec, pans, hyps, algorithm=algorithm, seed=seed
     )
     formats.write_mode_kernel(kernel_dir, fold, algorithm, mode_theta, newQ)
+    if metrics is not None:
+        metrics.write(
+            "kernclust", fold=int(fold), algorithm=algorithm,
+            patients=len(pans), mixture_num=int(newQ),
+        )
     return mode_theta, newQ

@@ -34,8 +34,12 @@ def eval_cohort(
     feature_index: Sequence[int],
     pans: Sequence[str],
     write: bool = True,
+    metrics=None,
 ) -> Dict[int, Dict[str, np.ndarray]]:
-    """Returns {feature_idx: {"mae": (P_valid,), "ci_ratio": (P_valid,)}}."""
+    """Returns {feature_idx: {"mae": (P_valid,), "ci_ratio": (P_valid,)}}.
+
+    `metrics` optionally takes a MetricsWriter; one "eval" record per
+    feature is appended (per-patient MAE / coverage distributions)."""
     out: Dict[int, Dict[str, np.ndarray]] = {}
     any_output = any(
         os.path.exists(
@@ -81,6 +85,12 @@ def eval_cohort(
         valid = mae >= 0.0
         res_f = dict(mae=mae[valid], ci_ratio=cov[mae >= 0.0])
         out[fidx] = res_f
+        if metrics is not None:
+            metrics.write(
+                "eval", mode=test_mode, feature=int(fidx),
+                valid_patients=int(valid.sum()), mae=res_f["mae"],
+                ci_ratio=res_f["ci_ratio"],
+            )
         if write:
             formats.write_double_bin(
                 os.path.join(

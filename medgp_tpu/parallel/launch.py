@@ -67,6 +67,62 @@ def host_shard(
     return [pans[i] for i in shards[pi]]
 
 
+def write_scheduler_launcher(
+    path: str,
+    exp_cfg: str,
+    num_hosts: int,
+    scheduler: str = "slurm",
+    partition: Optional[str] = None,
+    time_limit: str = "4:00:00",
+    memory: Optional[str] = None,
+    alg: str = "gmm",
+    extra_cmd: Optional[Sequence[str]] = None,
+) -> str:
+    """One scheduler script for the whole pod-slice run, in the reference's
+    three flavors — slurm / pbs / sequential (hpc.py:4-37
+    `write_scheduler_sh`) — but ONE job per pod slice instead of one per
+    patient. `sequential` emits a plain shell wrapper for scheduler-less
+    hosts (single-host runs or a bare TPU VM)."""
+    run_cmd = f"python -m medgp_tpu.cli.main run --cfg {exp_cfg} --alg {alg}"
+    lines = ["#!/bin/bash"]
+    if scheduler == "slurm":
+        lines += [
+            f"#SBATCH -N {num_hosts}",
+            "#SBATCH --ntasks-per-node=1",
+            f"#SBATCH -t {time_limit}",
+        ]
+        if memory:
+            lines.append(f"#SBATCH --mem={memory}")
+        if partition:
+            lines.append(f"#SBATCH -p {partition}")
+        launch = f"srun {run_cmd}"
+    elif scheduler == "pbs":
+        lines += [
+            f"#PBS -l select={num_hosts}:ncpus=1",
+            f"#PBS -l walltime={time_limit}",
+            "#PBS -V",
+        ]
+        launch = run_cmd
+    elif scheduler == "sequential":
+        launch = run_cmd
+    else:
+        raise NotImplementedError(
+            f"scheduler {scheduler!r} (use slurm | pbs | sequential)"
+        )
+    lines += [
+        "",
+        "# one process per host; jax.distributed picks up the pod topology",
+        launch,
+    ]
+    for cc in extra_cmd or ():
+        lines.append(str(cc))
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    os.chmod(path, 0o775)
+    return path
+
+
 def write_slurm_launcher(
     path: str,
     exp_cfg: str,
@@ -75,23 +131,8 @@ def write_slurm_launcher(
     time_limit: str = "4:00:00",
     alg: str = "gmm",
 ) -> str:
-    """One sbatch script for the whole pod-slice run (contrast: the reference
-    emits thousands of per-patient sbatch lines)."""
-    lines = [
-        "#!/bin/bash",
-        f"#SBATCH -N {num_hosts}",
-        "#SBATCH --ntasks-per-node=1",
-        f"#SBATCH -t {time_limit}",
-    ]
-    if partition:
-        lines.append(f"#SBATCH -p {partition}")
-    lines += [
-        "",
-        "# one process per host; jax.distributed picks up the pod topology",
-        f"srun python -m medgp_tpu.cli.main run --cfg {exp_cfg} --alg {alg}",
-        "",
-    ]
-    with open(path, "w") as f:
-        f.write("\n".join(lines))
-    os.chmod(path, 0o775)
-    return path
+    """Slurm convenience wrapper around :func:`write_scheduler_launcher`."""
+    return write_scheduler_launcher(
+        path, exp_cfg, num_hosts, scheduler="slurm",
+        partition=partition, time_limit=time_limit, alg=alg,
+    )

@@ -35,6 +35,23 @@ from medgp_tpu.models.priors import clamp_a_elements, empty_prior
 log = logging.getLogger("medgp_tpu")
 
 
+def stage_metrics(cfg: ExperimentConfig):
+    """The run's single aggregated metrics writer (SURVEY §5.5): every stage
+    appends typed scalar records to log/metrics.jsonl next to the reference's
+    per-job text logs. A config without a log dir gets a no-op writer."""
+    import os
+
+    from medgp_tpu.utils.metrics import MetricsWriter
+
+    path = (
+        os.path.join(cfg.exp_log_dir, "metrics.jsonl")
+        if cfg.exp_log_dir
+        else None
+    )
+    run_id = os.path.basename(cfg.exp_top_dir.rstrip("/")) or "run"
+    return MetricsWriter(path, run_id=run_id)
+
+
 def _batch_data(b: PaddedBatch) -> PatientData:
     return PatientData(
         t=jnp.asarray(b.t),
@@ -120,6 +137,7 @@ def train_cohort(
         sub_opt_iter=cfg.iteration_num_per_update,
     )
 
+    metrics = stage_metrics(cfg)
     mesh = _mesh_or_none(use_mesh)
     if mesh is not None:
         from medgp_tpu.parallel.mesh import pad_batch_to, sharded_train_step
@@ -172,6 +190,13 @@ def train_cohort(
                 "(%.2f patients/s)",
                 b.n_max, len(b), 1 if mesh is None else mesh.devices.size,
                 dt, len(b) / dt,
+            )
+            metrics.write(
+                "train", bucket=bidx, n_max=b.n_max, batch=len(b),
+                devices=1 if mesh is None else mesh.devices.size,
+                seconds=dt, patients_per_sec=len(b) / dt,
+                nlml=np.asarray(res.loss, np.float64),
+                trained=int(np.asarray(res.flag).sum()),
             )
             theta = np.asarray(res.theta, np.float64)
             init_theta = np.asarray(res.init_theta, np.float64)
@@ -297,6 +322,7 @@ def hmc_cohort(
             spec, data, theta0, sub, num_leapfrog=num_leapfrog, **common
         )
 
+    metrics = stage_metrics(cfg)
     mesh = _mesh_or_none(use_mesh)
     if mesh is not None:
         from medgp_tpu.parallel.mesh import sharded_sampler_step
@@ -335,6 +361,18 @@ def hmc_cohort(
             "%.1fs (%.1f samples/s)",
             sampler, B, b.n_max, chains, num_samples, dt,
             B * chains * num_samples / dt,
+        )
+        diag_scalars = (
+            dict(elbo=np.asarray(res.elbo)[:B])
+            if sampler == "vi"
+            else dict(
+                accept_rate=np.asarray(res.accept_rate)[:B].ravel(),
+                divergences=int(np.asarray(res.divergences)[:B].sum()),
+            )
+        )
+        metrics.write(
+            sampler, n_max=b.n_max, batch=B, seconds=dt,
+            samples_per_sec=B * chains * num_samples / dt, **diag_scalars,
         )
         if sampler == "vi":
             samples_all = np.asarray(res.samples)[:, None]  # (Bp, 1, S, H)
@@ -438,6 +476,7 @@ def test_cohort(
     feature_list = cfg.feature_list
     out: Dict[str, dict] = {}
 
+    metrics = stage_metrics(cfg)
     mesh = _mesh_or_none(use_mesh)
 
     folds = (
@@ -522,6 +561,12 @@ def test_cohort(
                     "device(s) in %.1fs",
                     fold, m, n_max, B,
                     1 if mesh is None else mesh.devices.size, dt,
+                )
+                metrics.write(
+                    "test", fold=int(fold), mode=m, n_max=n_max, batch=B,
+                    devices=1 if mesh is None else mesh.devices.size,
+                    seconds=dt, predictions=total_obs,
+                    sec_per_prediction=etime_by_mode[m],
                 )
 
             for i, pan in enumerate(b.pans):

@@ -171,3 +171,67 @@ def test_launch_helpers(tmp_path):
     body = open(sh).read()
     assert "#SBATCH -N 4" in body and "medgp_tpu.cli.main run" in body
     assert os.access(sh, os.X_OK)
+
+
+def test_scheduler_launcher_variants(tmp_path):
+    """All three reference scheduler flavors render (hpc.py:4-37): slurm,
+    pbs, and a scheduler-less sequential wrapper."""
+    import pytest
+
+    from medgp_tpu.parallel.launch import write_scheduler_launcher
+
+    pbs = write_scheduler_launcher(
+        str(tmp_path / "run_pbs.sh"), "/x/exp_setup.json", num_hosts=2,
+        scheduler="pbs", time_limit="12:00:00",
+    )
+    body = open(pbs).read()
+    assert "#PBS -l select=2" in body and "walltime=12:00:00" in body
+    assert "#PBS -V" in body and "medgp_tpu.cli.main run" in body
+
+    seq = write_scheduler_launcher(
+        str(tmp_path / "run_seq.sh"), "/x/exp_setup.json", num_hosts=1,
+        scheduler="sequential", extra_cmd=["echo done"],
+    )
+    body = open(seq).read()
+    assert "#SBATCH" not in body and "#PBS" not in body
+    assert "medgp_tpu.cli.main run" in body and "echo done" in body
+    assert os.access(seq, os.X_OK)
+
+    with pytest.raises(NotImplementedError):
+        write_scheduler_launcher(
+            str(tmp_path / "x.sh"), "/x", 1, scheduler="lsf"
+        )
+
+
+def test_plot_one_kernel_families(tmp_path, rng):
+    """The full reference plot set renders per kernel family
+    (vizkernel.py:119-365): LMC-SM A/lambda/B heatmaps + SM responses,
+    SE and SM 1-D responses, generic 1-D/2-D plotters."""
+    from medgp_tpu.visualization import vizkernel as vz
+
+    spec = LMCSMSpec(2, 3, 1)
+    theta = rng.normal(size=spec.n_hyp) * 0.3
+    paths = vz.plot_one_kernel(
+        "LMC-SM", theta, str(tmp_path / "lmcsm"), prefix="mode_",
+        Q=spec.Q, D=spec.D, R=spec.R,
+    )
+    assert len(paths) == 4 * spec.Q  # A, lambda, B, sm_1d per component
+    names = {os.path.basename(p) for p in paths}
+    assert "mode_a_matrix_0.pdf" in names
+    assert "mode_lam_matrix_1.pdf" in names
+    assert "mode_b_matrix_0.pdf" in names
+    assert "mode_sm_1d_1.pdf" in names
+    assert all(os.path.exists(p) for p in paths)
+
+    se = vz.plot_one_kernel("SE", rng.normal(size=3), str(tmp_path / "se"))
+    assert len(se) == 1 and se[0].endswith("se_1d.pdf")
+
+    sm = vz.plot_one_kernel(
+        "SM", rng.normal(size=1 + 3 * 2), str(tmp_path / "sm"), Q=2
+    )
+    assert len(sm) == 1 and sm[0].endswith("sm_1d.pdf")
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        vz.plot_one_kernel("RBF", theta, str(tmp_path))

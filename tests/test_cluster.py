@@ -67,6 +67,36 @@ def test_gmm_bic_agrees_with_sklearn(rng):
     assert k_jax == k_skl == 3
 
 
+def test_gmm_vmapped_inits_match_solo_runs(rng):
+    """EM under vmap over n_init must freeze converged members (masked
+    while): every init's vmapped result equals its solo run bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from medgp_tpu.cluster.gmm import _fit_single
+
+    X = jnp.asarray(np.concatenate([
+        rng.normal(size=(40, 2)) * 0.4 + np.array([2.5, 0.0]),
+        rng.normal(size=(40, 2)) * 0.4 + np.array([-2.5, 0.0]),
+    ]))
+    keys = jax.random.split(jax.random.key(0), 6)
+    # loose tol: members stop EARLY, far from the EM fixed point — if a
+    # converged member kept running (the unmasked-while bug) its params
+    # would keep refining and drift visibly from the solo run. The only
+    # tolerated difference is batched-vs-solo fp reduction order (~1e-8).
+    p_v, ll_v = jax.vmap(
+        lambda k: _fit_single(k, X, 2, 200, 0.05, 1e-6)
+    )(keys)
+    for i in range(6):
+        p_s, ll_s = _fit_single(keys[i], X, 2, 200, 0.05, 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ll_v[i]), np.asarray(ll_s), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_v.means[i]), np.asarray(p_s.means), atol=1e-5
+        )
+
+
 def test_none_algorithm_single_cluster(rng):
     X = rng.normal(size=(30, 5))
     k, assign = run_clustering_top("None", X)
@@ -140,3 +170,67 @@ def test_mode_svd_refactorization_properties(rng):
     )
     lam = np.exp(mode_theta[D + 1 * (D * R + 2) :])
     assert np.all(lam > 0)
+
+
+def test_in_memory_fold_clustering_matches_file_path(rng, tmp_path):
+    """The fused train->kernclust handoff (arrays in memory + ICI noise
+    mode) must produce the same mode kernels as the file-based fold
+    pipeline, for every fold."""
+    import jax
+    import jax.numpy as jnp
+
+    from medgp_tpu.cluster.pipeline import (
+        kernel_clustering_fold,
+        kernel_clustering_fold_in_memory,
+    )
+    from medgp_tpu.data import formats
+    from medgp_tpu.parallel.mesh import cohort_mesh, population_noise_mode
+
+    spec = LMCSMSpec(2, 2, 1)
+    P = 12
+    base = rng.normal(size=spec.n_hyp) * 0.4
+    hyps = np.tile(base, (P, 1)) + rng.normal(size=(P, spec.n_hyp)) * 0.05
+    pans = [f"p{i:02d}" for i in range(P)]
+    cv = np.asarray([i % 2 for i in range(P)])
+
+    import os
+
+    train_dir = str(tmp_path / "train")
+    file_kdir = str(tmp_path / "kernel_file")
+    mem_kdir = str(tmp_path / "kernel_mem")
+    os.makedirs(train_dir)
+    for i, pan in enumerate(pans):
+        formats.write_train_result(
+            train_dir, pan, hyps[i], init_theta=hyps[i],
+            var_state_flat=None, flag=True, n_obs=10,
+        )
+
+    mesh = cohort_mesh()
+    n_dev = mesh.devices.size
+    pad = (-P) % n_dev
+    th = np.concatenate([hyps, np.zeros((pad, spec.n_hyp))]).astype(np.float32)
+    fl = np.concatenate([np.ones(P), np.zeros(pad)]).astype(np.float32)
+    noise_mode = np.asarray(
+        population_noise_mode(spec, mesh)(jnp.asarray(th), jnp.asarray(fl)),
+        np.float64,
+    )
+
+    for fold in (-1, 0, 1):
+        want_theta, want_q = kernel_clustering_fold(
+            spec, train_dir, file_kdir, pans, cv, fold,
+            algorithm="gmm", seed=0,
+        )
+        got_theta, got_q = kernel_clustering_fold_in_memory(
+            spec, mem_kdir, pans, hyps, cv, pans, fold,
+            algorithm="gmm", seed=0, noise_mode=noise_mode,
+        )
+        assert got_q == want_q
+        D = spec.D
+        # noise block: ICI all_gather+KDE vs host KDE (same numbers to fp)
+        np.testing.assert_allclose(got_theta[:D], want_theta[:D], rtol=2e-3)
+        # everything else identical (same clustering inputs, same seed)
+        np.testing.assert_allclose(got_theta[D:], want_theta[D:], rtol=1e-12)
+        # files written by both paths
+        f_theta, f_q = formats.read_mode_kernel(mem_kdir, fold, "gmm")
+        assert f_q == got_q
+        np.testing.assert_allclose(f_theta, got_theta, atol=0)

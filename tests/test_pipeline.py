@@ -109,6 +109,23 @@ def test_full_pipeline(synth_experiment):
         )
     )
 
+    # every stage appended structured records to the single metrics stream
+    # (SURVEY §5.5); eval via the metrics-wired entry point
+    from medgp_tpu.parallel.runner import stage_metrics
+
+    eval_cohort(
+        cfg.data_dir, cfg.exp_test_dir, "mean_wo_update",
+        cfg.feature_list, cfg.pans(), write=False,
+        metrics=stage_metrics(cfg),
+    )
+    mpath = os.path.join(cfg.exp_log_dir, "metrics.jsonl")
+    assert os.path.exists(mpath)
+    stages = {json.loads(l)["stage"] for l in open(mpath)}
+    assert {"train", "test", "eval"} <= stages
+    recs_m = [json.loads(l) for l in open(mpath)]
+    tr = next(r for r in recs_m if r["stage"] == "train")
+    assert tr["patients_per_sec"] > 0 and "nlml_mean" in tr
+
 
 @pytest.mark.parametrize("sampler", ["hmc", "nuts", "vi"])
 def test_sampler_cohort_stage(synth_experiment, sampler, rng):
