@@ -26,7 +26,8 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
 
 from medgp_tpu.infer.map_train import TrainResult, train_one_patient
 from medgp_tpu.models.gp import PatientData
@@ -244,32 +245,149 @@ def population_noise_mode(
     return jax.jit(shard)
 
 
-def large_patient_nlml(spec: LMCSMSpec, mesh: Mesh, axis: str = "patients"):
-    """Sharded NLML for one outlier-large patient: observations laid out over
-    the mesh axis; the gram is built row-sharded and the Cholesky is handled
-    by XLA's distributed factorization under jit (GSPMD). This is the
-    'sequence-length scaling' analog of the reference's 100k-observation top
-    Slurm tier (slurm_della.json:51-61): the n x n gram no longer has to fit
-    one device."""
-    from medgp_tpu.models.gp import nlml_fn
+def large_patient_nlml(
+    spec: LMCSMSpec,
+    mesh: Mesh,
+    axis: str = "patients",
+    max_retries: int = 10,
+):
+    """Sharded NLML for one outlier-large patient: a shard_map-tiled gram +
+    distributed blocked Cholesky, with the gram row-sharded END TO END.
 
-    def step(theta, t, y, meta, mask):
-        data = PatientData(t=t, y=y, meta=meta, mask=mask)
-        value, res = nlml_fn(spec, data)(theta)
-        return value, res.ok
+    This is the 'sequence-length scaling' analog of the reference's
+    100k-observation top Slurm tier (slurm_della.json:51-61): the n x n gram
+    never exists on any single device. Per-device memory is
+    O(n^2/ndev + n*b) by construction — the body only ever materializes the
+    local row block (b, n) and one replicated block column (n, b); no (n, n)
+    buffer appears anywhere in the program (asserted against the compiled
+    HLO in tests/test_mesh.py). An earlier version jitted
+    `jnp.linalg.cholesky` over GSPMD-sharded inputs, which let XLA gather
+    the full gram onto every device — correct but not memory-scaling.
 
-    jitted = jax.jit(step)
+    Algorithm (right-looking blocked Cholesky, 1 block row per device,
+    forward substitution fused into the same pass):
+      for k in 0..ndev-1:
+        all_gather block column k (n, b) over ICI;
+        factor the diagonal block L_kk (replicated, b^3);
+        panel solve S = C L_kk^{-T} (replicated, n*b^2 on the MXU);
+        local trailing update K_l -= S_l @ S[trailing]^T (b*b*n MXU matmul);
+        z_k = L_kk^{-1} y_k (psum-broadcast residual), accumulate ||z||^2
+        and log det from diag(L_kk).
+      NLML = 0.5 ||z||^2 + sum log L_ii + n_eff/2 log(2 pi)
+    which is exactly c_inference_exact.cpp:87-152's quantities. The jitter
+    retry escalates mult = 1..1+max_retries like jittered_cholesky
+    (c_inference_exact.cpp:99-111). Padded observations enter as identity
+    rows with y=0, contributing nothing (masking identical to
+    ops/nlml.py:masked_nlml).
 
-    def call(theta, t, y, meta, mask):
-        sh = NamedSharding(mesh, P(axis))
-        rep = NamedSharding(mesh, P())
-        t, y, meta, mask = (
-            jax.device_put(t, sh),
-            jax.device_put(y, sh),
-            jax.device_put(meta, sh),
-            jax.device_put(mask, sh),
+    Returns call(theta, t, y, meta, mask) -> (nlml, ok); inputs are laid out
+    over the mesh axis (n must be a multiple of the mesh size — pad with
+    mask=0).
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    from medgp_tpu.models.gp import noise_variance
+    from medgp_tpu.models.params import REF_PI
+    from medgp_tpu.ops.gram import cross_gram_lmcsm
+
+    ndev = int(mesh.devices.size)
+
+    def local(theta, t_l, y_l, meta_l, mask_l):
+        b = t_l.shape[0]
+        n = b * ndev
+        dtype = t_l.dtype
+        mask_l = mask_l.astype(dtype)
+        d = lax.axis_index(axis)
+        g_l = d * b + jnp.arange(b)          # global row ids of my rows
+        gidx = jnp.arange(n)
+
+        p = spec.unpack(theta)
+        nv_l = noise_variance(spec, theta, meta_l) * mask_l
+
+        t_all = lax.all_gather(t_l, axis, tiled=True)
+        meta_all = lax.all_gather(meta_l, axis, tiled=True)
+        mask_all = lax.all_gather(mask_l, axis, tiled=True)
+
+        # local gram rows, masked: padded rows/cols zero, identity diagonal
+        K_rows = cross_gram_lmcsm(
+            spec, t_l, meta_l, t_all, meta_all,
+            p["A"], p["mu"], p["v"], p["kappa"],
+        ).astype(dtype)
+        K_rows = K_rows * (mask_l[:, None] * mask_all[None, :])
+        y_l = y_l * mask_l
+
+        def factorize(mult):
+            """One full blocked factorization + forward substitution at
+            jitter multiplier `mult`; returns (zsq, logdet, ok)."""
+            diag_add = mult.astype(dtype) * nv_l + (1.0 - mask_l)
+            K0 = K_rows.at[jnp.arange(b), g_l].add(diag_add)
+
+            def step(carry, k):
+                K_l, yres_l, zsq, logdet = carry
+                C_l = lax.dynamic_slice(K_l, (0, k * b), (b, b))
+                C = lax.all_gather(C_l, axis, tiled=True)      # (n, b)
+                Akk = lax.dynamic_slice(C, (k * b, 0), (b, b))
+                Lkk = jnp.linalg.cholesky(Akk)
+                # full block column of L: zeros above, Lkk in block k,
+                # panel solve below
+                S = solve_triangular(Lkk, C.T, lower=True).T   # (n, b)
+                below = (gidx >= (k + 1) * b).astype(dtype)
+                Lcol = S * below[:, None]
+                Lcol = lax.dynamic_update_slice(Lcol, Lkk, (k * b, 0))
+                Lcol_l = lax.dynamic_slice(
+                    Lcol, (d * b, 0), (b, b)
+                )  # my rows of the block column
+                # trailing update (columns >= (k+1)*b only)
+                K_l = K_l - Lcol_l @ (Lcol * below[:, None]).T
+                K_l = lax.dynamic_update_slice(K_l, Lcol_l, (0, k * b))
+                # forward substitution L z = y, block k
+                yk = lax.psum(
+                    jnp.where(d == k, yres_l, jnp.zeros_like(yres_l)), axis
+                )
+                zk = solve_triangular(Lkk, yk, lower=True)
+                yres_l = yres_l - Lcol_l @ zk
+                zsq = zsq + jnp.sum(zk * zk)
+                logdet = logdet + jnp.sum(
+                    jnp.log(jnp.diagonal(Lkk))
+                )
+                return (K_l, yres_l, zsq, logdet), None
+
+            (Kf, _, zsq, logdet), _ = lax.scan(
+                step,
+                (K0, y_l, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)),
+                jnp.arange(ndev),
+            )
+            ok = jnp.isfinite(zsq) & jnp.isfinite(logdet)
+            return zsq, logdet, ok
+
+        def cond(st):
+            mult, _, _, ok = st
+            return jnp.logical_and(~ok, mult <= max_retries)
+
+        def body(st):
+            mult = st[0] + 1
+            zsq, logdet, ok = factorize(mult)
+            return mult, zsq, logdet, ok
+
+        mult0 = jnp.asarray(1, jnp.int32)
+        zsq0, logdet0, ok0 = factorize(mult0)
+        _, zsq, logdet, ok = lax.while_loop(
+            cond, body, (mult0, zsq0, logdet0, ok0)
         )
-        theta = jax.device_put(theta, rep)
-        return jitted(theta, t, y, meta, mask)
 
-    return call
+        n_eff = jnp.sum(mask_all)
+        nlml = (
+            0.5 * zsq + logdet
+            + 0.5 * n_eff * jnp.log(jnp.asarray(2.0 * REF_PI, dtype))
+        )
+        nlml = jnp.where(ok, nlml, jnp.asarray(jnp.inf, dtype))
+        return nlml, ok
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard)

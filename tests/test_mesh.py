@@ -133,6 +133,96 @@ def test_large_patient_nlml_row_sharded(rng):
     assert float(v) == pytest.approx(float(want), rel=1e-4)
 
 
+def test_large_patient_nlml_masked_padding(rng):
+    """Padded observations (mask 0, identity rows) must not change the
+    distributed NLML."""
+    spec = LMCSMSpec(1, 2, 1)
+    mesh = cohort_mesh()
+    d = synth_lmcsm_patient(rng, spec, n=48, n_pad=16)  # 64 rows, 48 live
+    from tests.test_nlml import random_theta
+    theta = jnp.asarray(random_theta(rng, spec), jnp.float32)
+
+    call = large_patient_nlml(spec, mesh)
+    v, ok = call(theta, d.t, d.y, d.meta, d.mask)
+    assert bool(ok)
+
+    from medgp_tpu.models.gp import nlml_fn
+    want, _ = nlml_fn(spec, d)(theta)
+    assert float(v) == pytest.approx(float(want), rel=1e-4)
+
+
+def test_large_patient_nlml_never_materializes_full_gram(rng):
+    """The memory-scaling claim, asserted structurally: the compiled program
+    must contain no (n, n) f32 buffer — only (b, n) local row blocks and
+    (n, b) gathered panels (b = n / ndev). The GSPMD-autosharded version this
+    replaced all-gathered the full gram onto every device."""
+    spec = LMCSMSpec(1, 2, 1)
+    mesh = cohort_mesh()
+    n = 64
+    d = synth_lmcsm_patient(rng, spec, n=n)
+    from tests.test_nlml import random_theta
+    theta = jnp.asarray(random_theta(rng, spec), jnp.float32)
+
+    call = large_patient_nlml(spec, mesh)
+    txt = call.lower(theta, d.t, d.y, d.meta, d.mask).compile().as_text()
+    assert f"f32[{n},{n}]" not in txt, "full gram materialized on a device"
+    assert f"f32[{n // 8},{n}]" in txt or f"f32[{n},{n // 8}]" in txt
+
+
+def test_check_vma_workaround_still_needed():
+    """Pins WHY every shard_map in parallel/mesh.py passes check_vma=False:
+    the varying-manual-axes checker rejects while_loop carries whose INITIAL
+    value is an unvarying literal but whose body output is data-varying
+    (e.g. `success = False` flipped by a convergence predicate — the exact
+    shape of the SCG/varEM/jitter loops; observed error: "carry component
+    st.success has type bool[] but the corresponding output carry component
+    has type bool[]{V:patients}"). The reproducer below must FAIL under
+    check_vma=True; when a JAX upgrade auto-pcasts such carries, this test
+    fails and check_vma=False should be removed throughout
+    parallel/mesh.py (and lax.pcast applied where still needed)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = cohort_mesh()
+
+    def local(x):
+        # literal-init bool carry that becomes varying inside the body
+        def cond(st):
+            i, _, _ = st
+            return i < 3
+
+        def body(st):
+            i, v, _ = st
+            v = v * 2.0
+            return i + 1, v, v > 0.0
+
+        _, v, _ = jax.lax.while_loop(
+            cond, body, (0, jnp.sum(x), False)
+        )
+        return jax.lax.psum(v, "patients")
+
+    strict = jax.shard_map(
+        local, mesh=mesh, in_specs=(P("patients"),), out_specs=P(),
+        check_vma=True,
+    )
+    x = jnp.arange(8.0)
+    try:
+        jax.jit(strict)(x)
+        still_broken = False
+    except Exception:
+        still_broken = True
+    assert still_broken, (
+        "check_vma=True now accepts literal-initialized while carries — "
+        "re-enable the checker in parallel/mesh.py (drop check_vma=False)"
+    )
+    # and the documented workaround works
+    relaxed = jax.shard_map(
+        local, mesh=mesh, in_specs=(P("patients"),), out_specs=P(),
+        check_vma=False,
+    )
+    # each device doubles its local sum 3x, then psum: 2^3 * sum(x)
+    assert float(jax.jit(relaxed)(x)) == float(jnp.sum(x) * 2**3)
+
+
 def test_lpt_bin_packing():
     ns = [100, 5000, 200, 4800, 150, 5100, 90, 4700]
     costs = [patient_cost(n) for n in ns]
