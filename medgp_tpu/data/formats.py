@@ -192,6 +192,10 @@ def test_paths(test_dir: str, test_mode: str, pan: str) -> dict:
         error=prefix + f"error_{pan}.bin",
         pred=prefix + f"pred_{pan}.bin",
         flag=prefix + f"flag_{pan}.txt",
+        # extension beyond the reference artifact set: predictive variance,
+        # needed for held-out predictive NLL (absent upstream — the C++ test
+        # driver only records the binary 1.96-sigma CI flag)
+        var=prefix + f"var_{pan}.bin",
     )
 
 
@@ -205,8 +209,9 @@ def write_test_result(
     ci: np.ndarray,
     etime: np.ndarray,
     flag: bool,
+    var: np.ndarray | None = None,
 ) -> None:
-    """(main_one_test.cpp:446-472)"""
+    """(main_one_test.cpp:446-472; `var` is this framework's extension)"""
     p = test_paths(test_dir, test_mode, pan)
     if len(pred) > 0:
         write_int_txt(p["feature"], feature_idx)
@@ -214,11 +219,15 @@ def write_test_result(
         write_int_txt(p["ci"], ci)
         write_double_bin(p["error"], error)
         write_double_bin(p["pred"], pred)
+        if var is not None:
+            write_double_bin(p["var"], var)
     write_int_txt(p["flag"], [int(bool(flag))])
 
 
 def read_test_result(test_dir: str, test_mode: str, pan: str):
-    """(flag, dict | None) like binaryIO.py:45-63 `read_one_test_data`."""
+    """(flag, dict | None) like binaryIO.py:45-63 `read_one_test_data`.
+    `var` is present only when the test stage wrote it (None for artifacts
+    produced by the reference C++ driver)."""
     p = test_paths(test_dir, test_mode, pan)
     flag = int(read_int_txt(p["flag"])[0])
     if not flag:
@@ -229,6 +238,9 @@ def read_test_result(test_dir: str, test_mode: str, pan: str):
         ci=read_int_txt(p["ci"]),
         error=read_double_bin(p["error"]),
         etime=read_double_bin(p["etime"]),
+        var=(
+            read_double_bin(p["var"]) if os.path.exists(p["var"]) else None
+        ),
     )
 
 

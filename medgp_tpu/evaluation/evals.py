@@ -27,6 +27,18 @@ def compute_coverage(ci_flags: np.ndarray) -> float:
     return 100.0 * float(np.nanmean(ci_flags))
 
 
+def compute_nll(error: np.ndarray, var: np.ndarray) -> float:
+    """Mean Gaussian predictive negative log-likelihood per observation —
+    the acceptance metric of BASELINE.json (reference computes only MAE/CI;
+    this needs the predictive variance our test stage additionally records).
+    `error` and `var` must be on the same (raw) scale."""
+    var = np.maximum(np.asarray(var, np.float64), 1e-12)
+    return float(np.nanmean(
+        0.5 * np.asarray(error, np.float64) ** 2 / var
+        + 0.5 * np.log(2.0 * np.pi * var)
+    ))
+
+
 def eval_cohort(
     data_dir: str,
     test_dir: str,
@@ -59,6 +71,7 @@ def eval_cohort(
         )
         mae = np.full(len(pans), -1.0)
         cov = np.full(len(pans), -1.0)
+        nll = np.full(len(pans), np.nan)
         for i, pan in enumerate(pans):
             try:
                 flag, res = formats.read_test_result(
@@ -81,15 +94,22 @@ def eval_cohort(
             err = raw_v - pred
             mae[i] = compute_mae(err)
             cov[i] = compute_coverage(ci)
+            if res.get("var") is not None:
+                # de-normalize the variance: raw = norm * std + mean
+                nll[i] = compute_nll(err, res["var"][sel] * std**2)
 
         valid = mae >= 0.0
         res_f = dict(mae=mae[valid], ci_ratio=cov[mae >= 0.0])
+        nll_valid = nll[valid]
+        if np.isfinite(nll_valid).any():
+            res_f["nll"] = nll_valid
         out[fidx] = res_f
         if metrics is not None:
+            extra = {"nll": res_f["nll"]} if "nll" in res_f else {}
             metrics.write(
                 "eval", mode=test_mode, feature=int(fidx),
                 valid_patients=int(valid.sum()), mae=res_f["mae"],
-                ci_ratio=res_f["ci_ratio"],
+                ci_ratio=res_f["ci_ratio"], **extra,
             )
         if write:
             formats.write_double_bin(
@@ -104,6 +124,13 @@ def eval_cohort(
                 ),
                 res_f["ci_ratio"],
             )
+            if "nll" in res_f:
+                formats.write_double_bin(
+                    os.path.join(
+                        test_dir, f"test_{test_mode}_feature{fidx}_nll.bin"
+                    ),
+                    res_f["nll"],
+                )
     return out
 
 
@@ -111,12 +138,17 @@ def summarize(results: Dict[int, Dict[str, np.ndarray]]) -> Dict[str, float]:
     """Cohort-level scalars: mean of per-patient MAE / coverage by feature,
     then averaged over features (for quick reporting; the reference keeps the
     per-feature vectors)."""
-    maes, covs = [], []
+    maes, covs, nlls = [], [], []
     for fidx, r in results.items():
         if len(r["mae"]):
             maes.append(np.mean(r["mae"]))
             covs.append(np.mean(r["ci_ratio"]))
-    return dict(
+            if "nll" in r:
+                nlls.append(np.nanmean(r["nll"]))
+    out = dict(
         mae=float(np.mean(maes)) if maes else float("nan"),
         ci_ratio=float(np.mean(covs)) if covs else float("nan"),
     )
+    if nlls:
+        out["nll"] = float(np.mean(nlls))
+    return out

@@ -61,6 +61,7 @@ class OnlineResult(NamedTuple):
     pred: jnp.ndarray      # (n,) predictive mean (0.0 fallback)
     error: jnp.ndarray     # (n,) pred - y
     ci: jnp.ndarray        # (n,) int32 {0,1} 95% CI coverage flag
+    var: jnp.ndarray       # (n,) predictive variance (mode noise^2 fallback)
     valid: jnp.ndarray     # (n,) bool: this obs produced an output
     theta_final: jnp.ndarray  # (H,) hypers after the last online update
 
@@ -117,7 +118,7 @@ def _predict_timestamp(
     max_retries: int,
 ):
     """Predictions for all observations at timestamp u_t; (pred, err, ci,
-    m_curr) each (n,)."""
+    var, m_curr) each (n,)."""
     dtype = K.dtype
     is_past = data.mask * (data.t < u_t).astype(dtype)
     if update:
@@ -135,12 +136,15 @@ def _predict_timestamp(
     pred = jnp.where(use_fallback, 0.0, mean)
     err = pred - data.y
     sigma_mode = mode_noise_std[data.meta]
+    var_out = jnp.where(
+        use_fallback, sigma_mode**2, jnp.maximum(var, 0.0)
+    )
     ci_normal = (
         jnp.abs(err) <= 1.96 * jnp.sqrt(jnp.maximum(var, 0.0))
     ).astype(jnp.int32)
     ci_fallback = (jnp.abs(err) <= 1.96 * sigma_mode).astype(jnp.int32)
     ci = jnp.where(use_fallback, ci_fallback, ci_normal)
-    return pred, err, ci, m_curr
+    return pred, err, ci, var_out, m_curr
 
 
 def online_impute(
@@ -175,13 +179,13 @@ def online_impute(
 
         def one(xs):
             u_t, u_ok = xs
-            pred, err, ci, m_curr = _predict_timestamp(
+            pred, err, ci, var, m_curr = _predict_timestamp(
                 spec, K, mode_theta, data, mode_noise_std, u_t,
                 update=False, window=window, max_retries=max_retries,
             )
-            return pred, err, ci, m_curr * u_ok.astype(dtype)
+            return pred, err, ci, var, m_curr * u_ok.astype(dtype)
 
-        pred_t, err_t, ci_t, mcur_t = lax.map(
+        pred_t, err_t, ci_t, var_t, mcur_t = lax.map(
             one, (u_times, u_valid), batch_size=map_batch_size
         )
         theta_final = mode_theta
@@ -218,12 +222,12 @@ def online_impute(
             last_t = jnp.where(do_update, u_t, last_t)
 
             K = noiseless_gram(spec, theta, data)
-            pred, err, ci, m_curr = _predict_timestamp(
+            pred, err, ci, var, m_curr = _predict_timestamp(
                 spec, K, theta, data, mode_noise_std, u_t,
                 update=True, window=window, max_retries=max_retries,
             )
             m_curr = m_curr * u_ok.astype(dtype)
-            return (theta, delta, last_t), (pred, err, ci, m_curr)
+            return (theta, delta, last_t), (pred, err, ci, var, m_curr)
 
         T = u_times.shape[0]
         init = (
@@ -231,7 +235,7 @@ def online_impute(
             jnp.zeros_like(mode_theta),
             u_times[0],  # last_update_time starts at the first timestamp
         )
-        (theta_final, _, _), (pred_t, err_t, ci_t, mcur_t) = lax.scan(
+        (theta_final, _, _), (pred_t, err_t, ci_t, var_t, mcur_t) = lax.scan(
             step,
             init,
             (u_times, u_valid, jnp.arange(T)),
@@ -243,7 +247,9 @@ def online_impute(
     pred = jnp.sum(pred_t * w, axis=0)
     err = jnp.sum(err_t * w, axis=0)
     ci = jnp.sum(ci_t * w.astype(jnp.int32), axis=0)
+    var = jnp.sum(var_t * w, axis=0)
     valid = jnp.sum(w, axis=0) > 0
     return OnlineResult(
-        pred=pred, error=err, ci=ci, valid=valid, theta_final=theta_final
+        pred=pred, error=err, ci=ci, var=var, valid=valid,
+        theta_final=theta_final,
     )

