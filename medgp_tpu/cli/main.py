@@ -53,6 +53,12 @@ def _load_records(cfg, pans=None):
 
 
 def cmd_generate(args):
+    # generate is pure filesystem/config work; it must never attach to the
+    # TPU (a wedged tunnel would hang it, and the container pins the axon
+    # platform via jax.config so the JAX_PLATFORMS env alone cannot opt out)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from medgp_tpu.config.experiment import generate_experiment
 
     feature_list = json.load(open(args.feature_config))["feature_list"]
@@ -82,7 +88,8 @@ def cmd_train(args):
 
     t0 = time.time()
     out = train_cohort(
-        cfg, records, n_restarts=args.restarts, max_batch=args.max_batch
+        cfg, records, n_restarts=args.restarts, max_batch=args.max_batch,
+        large_threshold=args.large_threshold,
     )
     ok = sum(1 for r in out.values() if r["flag"])
     log.info(
@@ -166,13 +173,19 @@ def cmd_hmc(args):
 
 
 def cmd_run(args):
-    """Fused pipeline: train -> kernclust (all folds) -> test -> eval.
+    """Fused pipeline: train [-> sampler] -> kernclust (all folds) -> test
+    -> eval.
 
     Unlike the reference's five file-joined batch stages
     (run_exp_generator.py:213-263), training results flow straight into
-    clustering in memory; on a multi-device mesh the population noise mode
-    is computed over ICI (all_gather + KDE) instead of a host re-derivation.
-    Files are still written at every old stage boundary for inspection.
+    clustering in memory; on a multi-device mesh the per-fold population
+    noise modes are computed over ICI (one all_gather + in-program KDE for
+    ALL folds) instead of a host re-derivation. With --sampler, posterior
+    inference (HMC/NUTS/VI) runs after MAP and clustering consumes the
+    posterior-MEAN hypers instead of the MAP point (BASELINE.json
+    configs[2]'s "posterior -> clustering" path — the capability the
+    reference lacks). Files are still written at every old stage boundary
+    for inspection.
     """
     cfg = _load_cfg(args.cfg)
     import numpy as _np
@@ -187,10 +200,34 @@ def cmd_run(args):
     log.info("[run] train done at %.1fs", time.time() - t0)
 
     trained_pans = [p for p, r in tout.items() if r["flag"]]
+    if not trained_pans:
+        raise RuntimeError(
+            "no successfully trained patients — nothing to cluster "
+            "(check train_flag_* / data quality: >=2 obs per feature)"
+        )
     hyps = _np.stack([tout[p]["theta"] for p in trained_pans])
 
-    # in-program cross-patient collective: log noise modes over ICI
-    noise_mode = None
+    if args.sampler != "none":
+        from medgp_tpu.parallel.runner import hmc_cohort
+
+        sout = hmc_cohort(
+            cfg, [r for r in records if r.pan in set(trained_pans)],
+            num_chains=args.chains, num_warmup=args.warmup,
+            num_samples=args.samples, sampler=args.sampler,
+        )
+        # clustering consumes the posterior mean instead of the MAP point
+        n_post = 0
+        for i, p in enumerate(trained_pans):
+            if p in sout:
+                hyps[i] = sout[p]["post_mean"]
+                n_post += 1
+        log.info(
+            "[run] %s posterior means for %d/%d patients at %.1fs",
+            args.sampler, n_post, len(trained_pans), time.time() - t0,
+        )
+
+    # in-program cross-patient collective: per-fold log noise modes over ICI
+    fold_noise_modes = None
     import jax
 
     from medgp_tpu.models.params import LMCSMSpec
@@ -199,10 +236,15 @@ def cmd_run(args):
     if len(jax.devices()) > 1 and isinstance(spec, LMCSMSpec):
         import jax.numpy as jnp
 
-        from medgp_tpu.parallel.mesh import cohort_mesh, population_noise_mode
+        from medgp_tpu.parallel.mesh import (
+            cohort_mesh,
+            population_noise_modes_by_fold,
+        )
 
         mesh = cohort_mesh()
         n_dev = mesh.devices.size
+        cv_full = cfg.cv_assign()
+        fold_of = {p: int(f) for p, f in zip(cfg.pans(), cv_full)}
         P = len(trained_pans)
         pad = (-P) % n_dev
         th = _np.concatenate(
@@ -211,23 +253,33 @@ def cmd_run(args):
         fl = _np.concatenate([_np.ones(P), _np.zeros(pad)]).astype(
             _np.float32
         )
-        noise_mode = _np.asarray(
-            population_noise_mode(spec, mesh)(
-                jnp.asarray(th), jnp.asarray(fl)
+        cvs = _np.concatenate(
+            [[fold_of[p] for p in trained_pans], _np.full(pad, -2)]
+        ).astype(_np.int32)
+        fold_noise_modes = _np.asarray(
+            population_noise_modes_by_fold(spec, mesh, cfg.cv_fold_num)(
+                jnp.asarray(th), jnp.asarray(fl), jnp.asarray(cvs)
             ),
             _np.float64,
         )
-        log.info("[run] ICI noise mode: %s", _np.round(noise_mode, 4))
+        log.info(
+            "[run] ICI noise modes (%d folds + all): %s",
+            cfg.cv_fold_num, _np.round(fold_noise_modes, 4),
+        )
 
     from medgp_tpu.parallel.runner import stage_metrics
 
     metrics = stage_metrics(cfg)
     cv = cfg.cv_assign()
     for fold in range(-1, cfg.cv_fold_num):
+        nm = (
+            None if fold_noise_modes is None
+            else fold_noise_modes[fold]  # row -1 == last row == fold -1
+        )
         kernel_clustering_fold_in_memory(
             spec, cfg.exp_kernel_dir, trained_pans, hyps, cv, cfg.pans(),
             fold, algorithm=args.alg, seed=cfg.random_seed,
-            noise_mode=noise_mode, metrics=metrics,
+            noise_mode=nm, metrics=metrics,
         )
     log.info("[run] kernclust done at %.1fs", time.time() - t0)
 
@@ -276,6 +328,12 @@ def build_parser():
         if name == "train":
             s.add_argument("--restarts", type=int, default=None)
             s.add_argument("--max-batch", type=int, default=64)
+            s.add_argument(
+                "--large-threshold", type=int, default=None,
+                help="n_obs above which a patient trains via the "
+                "row-sharded distributed objective (default: "
+                "cfg.large_patient_threshold)",
+            )
         else:
             s.add_argument("--fold", type=int, default=None)
             s.add_argument("--alg", default="gmm")
@@ -314,16 +372,70 @@ def build_parser():
     h.add_argument("--step-size", type=float, default=0.005)
     h.set_defaults(func=cmd_hmc)
 
-    r = sub.add_parser("run", help="fused train+kernclust+test+eval")
+    r = sub.add_parser(
+        "run", help="fused train[+sampler]+kernclust+test+eval"
+    )
     r.add_argument("--cfg", required=True)
     r.add_argument("--alg", default="gmm")
     r.add_argument("--restarts", type=int, default=None)
+    r.add_argument(
+        "--sampler", choices=("none", "hmc", "nuts", "vi"), default="none",
+        help="run posterior inference after MAP and feed posterior-mean "
+        "hypers into clustering instead of the MAP point",
+    )
+    r.add_argument("--chains", type=int, default=4)
+    r.add_argument("--warmup", type=int, default=200)
+    r.add_argument("--samples", type=int, default=200)
     r.set_defaults(func=cmd_run)
     return p
 
 
+def _init_devices_with_watchdog(timeout: float = 60.0):
+    """Attach to the backend with a diagnostic watchdog: device init on the
+    TPU tunnel can hang for minutes after ANY earlier TPU process was killed
+    (the wedge every stage inherited silently before — a preempted scheduler
+    job or a Ctrl-C poisoned the next runs with zero indication). The
+    watchdog cannot un-wedge the tunnel, but it names the condition and the
+    remedy instead of hanging mutely."""
+    import threading
+
+    import jax
+
+    done = threading.Event()
+
+    def warn():
+        waited = 0.0
+        while not done.wait(timeout):
+            waited += timeout
+            log.warning(
+                "jax device init still pending after %.0fs — a previously "
+                "killed TPU-attached process can wedge the tunnel for "
+                "minutes; waiting it out (do NOT kill this process: that "
+                "would wedge the NEXT run too)", waited,
+            )
+
+    threading.Thread(target=warn, daemon=True).start()
+    t0 = time.time()
+    devs = jax.devices()
+    done.set()
+    log.info(
+        "%d device(s) [%s] attached in %.1fs",
+        len(devs), devs[0].platform, time.time() - t0,
+    )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.command != "generate":  # generate never touches jax
+        from medgp_tpu.utils.compile_cache import (
+            enable_compile_cache,
+            ensure_stable_hash_seed,
+        )
+
+        if argv is None:  # real CLI invocation, not an in-process call
+            ensure_stable_hash_seed()
+        enable_compile_cache()
+        _init_devices_with_watchdog()
     args.func(args)
 
 

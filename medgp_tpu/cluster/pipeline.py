@@ -101,7 +101,7 @@ def kernel_clustering_fold_in_memory(
         raise RuntimeError(f"no trained patients for fold {fold}")
     mode_theta, newQ = cluster_kernels(
         spec, pans[keep], hyps[keep], algorithm=algorithm, seed=seed,
-        noise_mode=noise_mode if fold == -1 else None,
+        noise_mode=noise_mode,
     )
     formats.write_mode_kernel(kernel_dir, fold, algorithm, mode_theta, newQ)
     if metrics is not None:

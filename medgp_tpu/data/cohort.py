@@ -81,11 +81,19 @@ def pack_patients(
     multiple: int = 128,
     growth: float = 2.0,
     max_batch: int | None = None,
+    batch_multiple: int = 1,
 ) -> List[PaddedBatch]:
     """Group patients into padded batches by bucketed length.
 
     Patients keep their identity (pans list); padding entries have mask 0,
     meta 0, t 0, y 0 — exactly neutral in the masked NLML.
+
+    `batch_multiple` (the device-mesh size, when sharding) promotes each
+    length-bucket's remainder patients into the next-longer bucket so every
+    non-final bucket's population is a device multiple: dummy-patient padding
+    then occurs at most once (the cohort-size remainder in the longest
+    bucket) instead of once per bucket — without it, an 8-device mesh pads a
+    2-patient bucket with 6 full dummy computations.
     """
     if not records:
         return []
@@ -96,6 +104,21 @@ def pack_patients(
             if r.n_obs <= e:
                 buckets.setdefault(e, []).append(r)
                 break
+
+    if batch_multiple > 1:
+        order = sorted(buckets)
+        for i, e in enumerate(order[:-1]):
+            group = buckets[e]
+            rem = len(group) % batch_multiple
+            if rem:
+                # promote the longest `rem` patients (least extra padding)
+                group.sort(key=lambda r: r.n_obs)
+                buckets[order[i + 1]] = group[len(group) - rem:] + buckets[
+                    order[i + 1]
+                ]
+                del group[len(group) - rem:]
+                if not group:
+                    del buckets[e]
 
     batches = []
     for n_max in sorted(buckets):

@@ -130,11 +130,18 @@ def varem_train(
     early_stop_tol: float = 0.005,
     psi_clamp_eps: float = 0.0,
     max_retries: int = 10,
+    objective_factory=None,
 ) -> VarEMResult:
     """MAP training of one (padded) patient under the hier-gamma prior.
 
     `eta` and `beta_lam` are the experiment's prior hypers (cfg keys "eta",
     "beta_lam"; c_experiment.cpp:99-110). Fully traced; vmap over patients.
+
+    `objective_factory(prior) -> f(theta) -> (value, grad, ok)` overrides the
+    M-step objective builder (default: the single-device
+    `objective_and_grad(spec, data, prior)`); the row-sharded large-patient
+    path passes `parallel.mesh.large_patient_objective` here so varEM runs
+    unchanged over the distributed blocked-Cholesky NLML.
     """
     dtype = theta0.dtype
     sl = cov_slices(spec)
@@ -156,9 +163,12 @@ def varem_train(
 
     def one_round(carry: Carry, scg_evals: int, is_first: jnp.ndarray):
         # ---- M-step: SCG under the current prior ----
-        f = objective_and_grad(
-            spec, data, prior=carry.prior, max_retries=max_retries
-        )
+        if objective_factory is not None:
+            f = objective_factory(carry.prior)
+        else:
+            f = objective_and_grad(
+                spec, data, prior=carry.prior, max_retries=max_retries
+            )
         res = scg_minimize(f, carry.theta, max_evals=scg_evals)
         loss = res.fx
 

@@ -143,9 +143,17 @@ def _nlml_core(Km, y_eff, noise_eff, max_retries):
     """
     L, ok, mult = _jittered_chol_cv(Km, noise_eff, max_retries)
     alpha = cho_solve((L, True), y_eff)
-    logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
-    quad = jnp.dot(y_eff, alpha)
-    return 0.5 * quad + logdet, L, alpha, ok, mult
+    # Mixed-precision regime mirroring the reference: fp32 gram/Cholesky/
+    # solves with the logdet and quadratic-form reductions ACCUMULATED in
+    # double (c_inference_exact.cpp:118-152 accumulates log L_ii and y^T
+    # alpha in `double`; cblas_dsdot at c_kernel_LMC_SM.cpp:322). Under
+    # JAX's default x64-disabled config this is an exact no-op; enabling
+    # x64 (the reference-parity regime) makes the accumulation genuinely
+    # double while everything O(n^2)+ stays fp32 — a VPU-scalar cost only.
+    acc = jnp.float64 if jax.config.jax_enable_x64 else Km.dtype
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L)).astype(acc))
+    quad = jnp.dot(y_eff.astype(acc), alpha.astype(acc))
+    return (0.5 * quad + logdet).astype(Km.dtype), L, alpha, ok, mult
 
 
 def _nlml_core_fwd(Km, y_eff, noise_eff, max_retries):

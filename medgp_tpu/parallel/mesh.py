@@ -201,7 +201,10 @@ def masked_weighted_kde_mode(xs: jnp.ndarray, flags: jnp.ndarray):
         wsum > 0, jnp.sum(f * xs * dens) / wsum,
         jnp.sum(f * xs) / jnp.maximum(n_ok, 1.0),
     )
-    return jnp.where(n_ok == 1, x_first, mode)
+    mode = jnp.where(n_ok == 1, x_first, mode)
+    # zero flagged patients: fail loudly with NaN instead of silently
+    # returning 0 (which downstream log() would turn into -inf noise modes)
+    return jnp.where(n_ok == 0, jnp.asarray(jnp.nan, dtype), mode)
 
 
 def population_noise_mode(
@@ -243,6 +246,365 @@ def population_noise_mode(
         check_vma=False,
     )
     return jax.jit(shard)
+
+
+def population_noise_modes_by_fold(
+    spec: LMCSMSpec, mesh: Mesh, n_folds: int, axis: str = "patients"
+):
+    """Per-CV-fold noise modes over ICI, one collective for ALL folds.
+
+    Fold f's mode kernel uses training-fold patients only (cv_assign != f,
+    kernclust.py:22-24); fold -1 uses everyone. One `all_gather` assembles
+    the population (noise hypers, flags, cv assignment) on every device and
+    the masked KDE mode is evaluated in-program for every fold — the ICI
+    replacement for the reference's per-fold file gather, now covering EVERY
+    fold (round 2 only computed fold -1 in-program).
+
+    Returns a jitted fn (theta (B,H) sharded, flags (B,) sharded, cv (B,)
+    sharded) -> (n_folds + 1, D) log noise modes, replicated; row f is fold
+    f, the last row is fold -1. Numerics note: the in-program KDE runs in
+    fp32 vs the staged host path's float64 (cluster/kde.py) — agreement is
+    rtol ~2e-3 (pinned in tests/test_mesh.py), documented in PARITY.md.
+    """
+    D = spec.n_lik
+
+    def local(thetas, flags, cv):
+        noise = jnp.exp(thetas[:, :D])
+        noise_all = jax.lax.all_gather(noise, axis, tiled=True)     # (B, D)
+        flags_all = jax.lax.all_gather(
+            flags.astype(jnp.float32), axis, tiled=True
+        )
+        cv_all = jax.lax.all_gather(
+            cv.astype(jnp.int32), axis, tiled=True
+        )
+
+        fold_ids = jnp.arange(n_folds + 1, dtype=jnp.int32)
+
+        def one_fold(f):
+            keep = jnp.where(f < n_folds, (cv_all != f), True)
+            fl = flags_all * keep.astype(jnp.float32)
+            modes = jax.vmap(masked_weighted_kde_mode, in_axes=(1, None))(
+                noise_all, fl
+            )
+            return jnp.log(modes)
+
+        return jax.vmap(one_fold)(fold_ids)                 # (F+1, D)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def large_patient_nlml_diff(
+    spec: LMCSMSpec,
+    mesh: Mesh,
+    axis: str = "patients",
+    max_retries: int = 10,
+):
+    """DIFFERENTIABLE row-sharded NLML for one outlier-large patient.
+
+    Same distributed blocked Cholesky as :func:`large_patient_nlml`, plus a
+    custom VJP so the patient is *trainable* (the reference's top Slurm tier
+    trains n < 100,000 patients, scripts/slurm_della.json:51-61; value-only
+    evaluation cannot). Neither the forward nor the backward program
+    materializes an (n, n) buffer on any device (asserted against compiled
+    HLO in tests/test_large_train.py):
+
+      forward:  blocked factorization (see large_patient_nlml) storing the
+                clean local L row-block (b, n), the replicated forward-
+                substitution result z, and a replicated alpha = K^{-1}y via a
+                blocked backward substitution (O(n^2) VPU work).
+      backward: the reference's Q-matrix identity dNLML/dK =
+                1/2 (K^{-1} - alpha alpha^T) (c_inference_exact.cpp:168-172),
+                computed ROW-BLOCKWISE: each device solves K Z = E_l for the
+                identity columns of its own rows with two distributed
+                triangular solves against the stored L (per step, one
+                psum-broadcast L row-block / one all_gather L column-block;
+                per-device work O(n^3/ndev), memory O(n b)). The local theta
+                cotangent is one reverse-mode pass through the local gram
+                rows, psum-reduced over the mesh.
+
+    Returns a jitted `call(theta, t, y, meta, mask) -> (nlml, ok)`,
+    differentiable in theta and y; layout as in large_patient_nlml.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    from medgp_tpu.models.gp import noise_variance
+    from medgp_tpu.models.params import REF_PI
+    from medgp_tpu.ops.gram import cross_gram_lmcsm
+
+    ndev = int(mesh.devices.size)
+
+    def gram_rows(theta, mult, t_l, meta_l, mask_l, t_all, meta_all,
+                  mask_all, g_l):
+        """Local gram row-block incl. the noise + identity-padding diagonal
+        at jitter multiplier `mult`; differentiable wrt theta."""
+        dtype = t_l.dtype
+        b = t_l.shape[0]
+        p = spec.unpack(theta)
+        nv_l = noise_variance(spec, theta, meta_l) * mask_l
+        K = cross_gram_lmcsm(
+            spec, t_l, meta_l, t_all, meta_all,
+            p["A"], p["mu"], p["v"], p["kappa"],
+        ).astype(dtype)
+        K = K * (mask_l[:, None] * mask_all[None, :])
+        diag_add = mult.astype(dtype) * nv_l + (1.0 - mask_l)
+        return K.at[jnp.arange(b), g_l].add(diag_add)
+
+    def factorize(K0, y_l, d, gidx):
+        """Blocked right-looking Cholesky + forward substitution. Returns
+        (L_l clean local rows (b, n), z replicated (n,), zsq, logdet, ok).
+        Every column block is overwritten exactly once with its final L
+        values (zeros above the diagonal), so the scanned K_l IS the clean
+        row-block of L at the end."""
+        b = y_l.shape[0]
+        n = b * ndev
+        dtype = y_l.dtype
+
+        def step(carry, k):
+            K_l, yres_l, z, zsq, logdet = carry
+            C_l = lax.dynamic_slice(K_l, (0, k * b), (b, b))
+            C = lax.all_gather(C_l, axis, tiled=True)          # (n, b)
+            Akk = lax.dynamic_slice(C, (k * b, 0), (b, b))
+            Lkk = jnp.linalg.cholesky(Akk)
+            S = solve_triangular(Lkk, C.T, lower=True).T       # (n, b)
+            below = (gidx >= (k + 1) * b).astype(dtype)
+            Lcol = S * below[:, None]
+            Lcol = lax.dynamic_update_slice(Lcol, Lkk, (k * b, 0))
+            Lcol_l = lax.dynamic_slice(Lcol, (d * b, 0), (b, b))
+            K_l = K_l - Lcol_l @ (Lcol * below[:, None]).T
+            K_l = lax.dynamic_update_slice(K_l, Lcol_l, (0, k * b))
+            yk = lax.psum(
+                jnp.where(d == k, yres_l, jnp.zeros_like(yres_l)), axis
+            )
+            zk = solve_triangular(Lkk, yk, lower=True)
+            yres_l = yres_l - Lcol_l @ zk
+            z = lax.dynamic_update_slice(z, zk, (k * b,))
+            zsq = zsq + jnp.sum(zk * zk)
+            logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))
+            return (K_l, yres_l, z, zsq, logdet), None
+
+        zero = jnp.asarray(0.0, dtype)
+        (L_l, _, z, zsq, logdet), _ = lax.scan(
+            step, (K0, y_l, jnp.zeros(n, dtype), zero, zero),
+            jnp.arange(ndev),
+        )
+        ok = jnp.isfinite(zsq) & jnp.isfinite(logdet)
+        return L_l, z, zsq, logdet, ok
+
+    def local_fwd(theta, t_l, y_l, meta_l, mask_l):
+        dtype = t_l.dtype
+        b = t_l.shape[0]
+        n = b * ndev
+        mask_l = mask_l.astype(dtype)
+        d = lax.axis_index(axis)
+        g_l = d * b + jnp.arange(b)
+        gidx = jnp.arange(n)
+        t_all = lax.all_gather(t_l, axis, tiled=True)
+        meta_all = lax.all_gather(meta_l, axis, tiled=True)
+        mask_all = lax.all_gather(mask_l, axis, tiled=True)
+        y_l = y_l * mask_l
+
+        def fact_at(mult):
+            K0 = gram_rows(
+                theta, mult, t_l, meta_l, mask_l, t_all, meta_all,
+                mask_all, g_l,
+            )
+            return factorize(K0, y_l, d, gidx)
+
+        mult0 = jnp.asarray(1, jnp.int32)
+        st0 = fact_at(mult0)
+
+        def cond(st):
+            mult = st[0]
+            ok = st[5]
+            return jnp.logical_and(~ok, mult <= max_retries)
+
+        def body(st):
+            mult = st[0] + 1
+            return (mult,) + fact_at(mult)
+
+        mult, L_l, z, zsq, logdet, ok = lax.while_loop(
+            cond, body, (mult0,) + st0
+        )
+
+        # blocked backward substitution L^T alpha = z, replicated (O(n^2))
+        def alpha_step(alpha, k):
+            Lcol = lax.all_gather(
+                lax.dynamic_slice(L_l, (0, k * b), (b, b)), axis, tiled=True
+            )                                                   # (n, b)
+            Lkk = lax.dynamic_slice(Lcol, (k * b, 0), (b, b))
+            zk = lax.dynamic_slice(z, (k * b,), (b,))
+            # alpha rows <= this block are still zero, so the full matvec
+            # sums exactly sum_{j>k} L_jk^T alpha_j
+            w = Lcol.T @ alpha
+            ak = solve_triangular(Lkk.T, zk - w, lower=False)
+            return lax.dynamic_update_slice(alpha, ak, (k * b,)), None
+
+        alpha, _ = lax.scan(
+            alpha_step, jnp.zeros(n, dtype), jnp.arange(ndev - 1, -1, -1)
+        )
+
+        n_eff = jnp.sum(mask_all)
+        nlml = (
+            0.5 * zsq + logdet
+            + 0.5 * n_eff * jnp.log(jnp.asarray(2.0 * REF_PI, dtype))
+        )
+        nlml = jnp.where(ok, nlml, jnp.asarray(jnp.inf, dtype))
+        return nlml, ok, mult, L_l, alpha
+
+    def local_bwd(gbar, theta, mult, L_l, alpha, t_l, y_l, meta_l, mask_l,
+                  ok):
+        dtype = t_l.dtype
+        b = t_l.shape[0]
+        n = b * ndev
+        mask_l = mask_l.astype(dtype)
+        d = lax.axis_index(axis)
+        g_l = d * b + jnp.arange(b)
+        gidx = jnp.arange(n)
+        t_all = lax.all_gather(t_l, axis, tiled=True)
+        meta_all = lax.all_gather(meta_l, axis, tiled=True)
+        mask_all = lax.all_gather(mask_l, axis, tiled=True)
+        eye_b = jnp.eye(b, dtype=dtype)
+
+        # K Z = E_l for my rows' identity columns: forward solve L W = E_l
+        # (each device carries its own (n, b) RHS; only L moves over ICI)
+        def fwd_step(W, k):
+            Lrow = lax.psum(
+                jnp.where(d == k, L_l, jnp.zeros_like(L_l)), axis
+            )                                                   # (b, n)
+            Lkk = lax.dynamic_slice(Lrow, (0, k * b), (b, b))
+            Ek = jnp.where(d == k, eye_b, jnp.zeros_like(eye_b))
+            rhs = Ek - (
+                Lrow * (gidx < k * b).astype(dtype)[None, :]
+            ) @ W
+            Wk = solve_triangular(Lkk, rhs, lower=True)
+            return lax.dynamic_update_slice(W, Wk, (k * b, 0)), None
+
+        W, _ = lax.scan(fwd_step, jnp.zeros((n, b), dtype), jnp.arange(ndev))
+
+        # then backward solve L^T Z = W
+        def bwd_step(Z, k):
+            Lcol = lax.all_gather(
+                lax.dynamic_slice(L_l, (0, k * b), (b, b)), axis, tiled=True
+            )                                                   # (n, b)
+            Lkk = lax.dynamic_slice(Lcol, (k * b, 0), (b, b))
+            Wk = lax.dynamic_slice(W, (k * b, 0), (b, b))
+            rhs = Wk - (
+                Lcol * (gidx >= (k + 1) * b).astype(dtype)[:, None]
+            ).T @ Z
+            Zk = solve_triangular(Lkk.T, rhs, lower=False)
+            return lax.dynamic_update_slice(Z, Zk, (k * b, 0)), None
+
+        Z, _ = lax.scan(
+            bwd_step, jnp.zeros((n, b), dtype), jnp.arange(ndev - 1, -1, -1)
+        )
+
+        alpha_l = lax.dynamic_slice(alpha, (d * b,), (b,))
+        # rows of the Q matrix: (K^{-1})_l = Z^T by symmetry
+        Qbar = (0.5 * gbar) * (Z.T - jnp.outer(alpha_l, alpha))  # (b, n)
+
+        def k_of_theta(th):
+            return gram_rows(
+                th, mult, t_l, meta_l, mask_l, t_all, meta_all,
+                mask_all, g_l,
+            )
+
+        _, vjp = jax.vjp(k_of_theta, theta)
+        (th_bar,) = vjp(Qbar)
+        th_bar = lax.psum(th_bar, axis)
+        y_bar_l = gbar * alpha_l * mask_l
+        th_bar = jnp.where(ok, th_bar, jnp.zeros_like(th_bar))
+        y_bar_l = jnp.where(ok, y_bar_l, jnp.zeros_like(y_bar_l))
+        return th_bar, y_bar_l
+
+    shard_fwd = jax.shard_map(
+        local_fwd,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(axis), P()),
+        check_vma=False,
+    )
+    shard_bwd = jax.shard_map(
+        local_bwd,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(axis), P(), P(axis), P(axis), P(axis),
+            P(axis), P(),
+        ),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def nlml(theta, t, y, meta, mask):
+        v, ok, _, _, _ = shard_fwd(theta, t, y, meta, mask)
+        return v, ok
+
+    def nlml_fwd(theta, t, y, meta, mask):
+        v, ok, mult, L, alpha = shard_fwd(theta, t, y, meta, mask)
+        return (v, ok), (theta, mult, L, alpha, t, y, meta, mask, ok)
+
+    def nlml_bwd(res, cts):
+        theta, mult, L, alpha, t, y, meta, mask, ok = res
+        gbar = cts[0]
+        th_bar, y_bar = shard_bwd(
+            gbar, theta, mult, L, alpha, t, y, meta, mask, ok
+        )
+        meta_bar = np.zeros(meta.shape, dtype=jax.dtypes.float0)
+        return th_bar, jnp.zeros_like(t), y_bar, meta_bar, \
+            jnp.zeros_like(mask)
+
+    nlml.defvjp(nlml_fwd, nlml_bwd)
+    return jax.jit(nlml)
+
+
+def large_patient_objective(
+    spec: LMCSMSpec,
+    mesh: Mesh,
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    meta: jnp.ndarray,
+    mask: jnp.ndarray,
+    prior=None,
+    axis: str = "patients",
+    max_retries: int = 10,
+    base=None,
+):
+    """`f(theta) -> (value, grad, ok)` over one row-sharded patient — the
+    distributed counterpart of :func:`medgp_tpu.models.gp.objective_and_grad`,
+    directly consumable by `scg_minimize`/`varem_train`. MAP value is
+    NLML - log prior; clamped hypers' gradients are zeroed via the prior's
+    grad mask (c_inference_prior.cpp:59-151 semantics). `base` optionally
+    reuses an already-built :func:`large_patient_nlml_diff` callable (the
+    varEM objective factory passes it so each M-step round shares one)."""
+    from medgp_tpu.models.priors import log_prior
+
+    if base is None:
+        base = large_patient_nlml_diff(spec, mesh, axis, max_retries)
+    grad_mask = None if prior is None else prior.grad_mask()
+
+    def f(theta):
+        def loss(th):
+            v, ok = base(th, t, y, meta, mask)
+            if prior is not None:
+                v = v - log_prior(prior, th)
+            return v, ok
+
+        (v, ok), g = jax.value_and_grad(loss, has_aux=True)(theta)
+        if grad_mask is not None:
+            g = g * grad_mask.astype(g.dtype)
+        ok = ok & (jnp.sum(mask) > 2) & jnp.all(jnp.isfinite(g))
+        g = jnp.where(ok, g, jnp.zeros_like(g))
+        v = jnp.where(ok, v, jnp.asarray(jnp.inf, v.dtype))
+        return v, g, ok
+
+    return f
 
 
 def large_patient_nlml(

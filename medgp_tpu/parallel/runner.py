@@ -71,6 +71,10 @@ def _mesh_or_none(use_mesh: Optional[bool]):
     return cohort_mesh(devices) if on else None
 
 
+def _round_up_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _pad_rows(a: np.ndarray, b_target: int) -> np.ndarray:
     if a.shape[0] == b_target:
         return a
@@ -83,6 +87,20 @@ def _pad_rows(a: np.ndarray, b_target: int) -> np.ndarray:
 def _mesh_multiple(B: int, mesh) -> int:
     n_dev = mesh.devices.size
     return -(-B // n_dev) * n_dev
+
+
+def _run_compiled(jitted, cache, key, args, metrics, stage, **meta):
+    """Execute a jitted program via an explicitly compiled executable,
+    recording compile time separately from execute time (SURVEY §5.5's
+    observability gap; with the persistent cache enabled the compile record
+    collapses to near zero on the second identical run)."""
+    if key not in cache:
+        t0 = time.time()
+        cache[key] = jitted.lower(*args).compile()
+        dt = time.time() - t0
+        log.info("compiled %s program %s in %.1fs", stage, key, dt)
+        metrics.write(f"{stage}_compile", seconds=dt, **meta)
+    return cache[key](*args)
 
 
 # --------------------------------------------------------------------------
@@ -98,9 +116,16 @@ def train_cohort(
     screen_chunk: int = 32,
     ckpt_dir: Optional[str] = None,
     use_mesh: Optional[bool] = None,
+    large_threshold: Optional[int] = None,
 ) -> Dict[str, dict]:
     """Train every patient; returns {pan: result dict} and optionally writes
     the reference train artifacts.
+
+    Patients with n_obs > `large_threshold` (default
+    cfg.large_patient_threshold) bypass bucketing entirely and train through
+    the row-sharded distributed objective (infer/large_train.py) whenever a
+    mesh is available — the product path for the reference's 10k-100k
+    observation Slurm tier (scripts/slurm_della.json:51-61).
 
     The restart set is shared by all patients, matching the reference where
     every per-patient process seeds `srand(random_seed)` identically and
@@ -123,7 +148,23 @@ def train_cohort(
     S = n_restarts or cfg.random_init_num
     inits = random_inits(jax.random.key(cfg.random_seed), spec, bounds, S)
 
-    batches = pack_patients(records, max_batch=max_batch)
+    mesh = _mesh_or_none(use_mesh)
+    ndev = 1 if mesh is None else int(mesh.devices.size)
+
+    thr = (
+        large_threshold if large_threshold is not None
+        else cfg.large_patient_threshold
+    )
+    large_recs = []
+    if mesh is not None and isinstance(spec, LMCSMSpec):
+        large_recs = [r for r in records if r.n_obs > thr]
+        if large_recs:
+            records = [r for r in records if r.n_obs <= thr]
+
+    batches = pack_patients(
+        records, max_batch=_round_up_to(max_batch, ndev),
+        batch_multiple=ndev,
+    )
     ckpt = CohortCheckpointer(ckpt_dir) if ckpt_dir else None
 
     def bucket_key(b: PaddedBatch) -> np.ndarray:
@@ -138,7 +179,7 @@ def train_cohort(
     )
 
     metrics = stage_metrics(cfg)
-    mesh = _mesh_or_none(use_mesh)
+    compiled: Dict[tuple, object] = {}
     if mesh is not None:
         from medgp_tpu.parallel.mesh import pad_batch_to, sharded_train_step
 
@@ -146,11 +187,15 @@ def train_cohort(
 
         def run_batch(data: PatientData):
             B = data.t.shape[0]
-            res = step(pad_batch_to(data, _mesh_multiple(B, mesh)))
+            padded = pad_batch_to(data, _mesh_multiple(B, mesh))
+            res = _run_compiled(
+                step, compiled, padded.t.shape, (padded,), metrics, "train",
+                n_max=padded.t.shape[1], batch=padded.t.shape[0],
+            )
             return jax.tree.map(lambda a: a[:B], res)
     else:
         @partial(jax.jit, static_argnames=())
-        def run_batch(data: PatientData):
+        def batch_fn(data: PatientData):
             def one(t, y, meta, mask):
                 return train_one_patient(
                     spec,
@@ -160,6 +205,12 @@ def train_cohort(
                 )
 
             return jax.vmap(one)(data.t, data.y, data.meta, data.mask)
+
+        def run_batch(data: PatientData):
+            return _run_compiled(
+                batch_fn, compiled, data.t.shape, (data,), metrics, "train",
+                n_max=data.t.shape[1], batch=data.t.shape[0],
+            )
 
     out: Dict[str, dict] = {}
     for bidx, b in enumerate(batches):
@@ -239,6 +290,36 @@ def train_cohort(
                     theta[i], init_theta[i],
                     None if var_flat is None else var_flat[i],
                     bool(flags[i]), int(nobs[i]),
+                )
+
+    if large_recs:
+        from medgp_tpu.infer.large_train import train_one_large_patient
+
+        S_large = min(S, cfg.large_patient_restarts)
+        for rec in large_recs:
+            t0 = time.time()
+            res = train_one_large_patient(
+                spec, rec.t, rec.y, rec.meta, mesh, inits[:S_large],
+                prior_mode=cfg.prior_index, eta=cfg.eta,
+                beta_lam=cfg.beta_lam, top_iters=cfg.top_iteration_num,
+                sub_opt_iter=cfg.iteration_num_per_update,
+            )
+            dt = time.time() - t0
+            log.info(
+                "trained LARGE patient %s (n=%d, row-sharded over %d "
+                "devices) in %.1fs: flag=%s loss=%.3f",
+                rec.pan, rec.n_obs, ndev, dt, res["flag"], res["loss"],
+            )
+            metrics.write(
+                "train_large", pan=rec.pan, n_obs=rec.n_obs, devices=ndev,
+                seconds=dt, nlml=res["loss"], trained=int(res["flag"]),
+            )
+            out[rec.pan] = res
+            if write:
+                formats.write_train_result(
+                    cfg.exp_train_dir, rec.pan,
+                    res["theta"], res["init_theta"], res["var_state"],
+                    res["flag"], res["n_obs"],
                 )
     return out
 
@@ -324,6 +405,7 @@ def hmc_cohort(
 
     metrics = stage_metrics(cfg)
     mesh = _mesh_or_none(use_mesh)
+    ndev = 1 if mesh is None else int(mesh.devices.size)
     if mesh is not None:
         from medgp_tpu.parallel.mesh import sharded_sampler_step
 
@@ -332,8 +414,12 @@ def hmc_cohort(
         run_bucket = jax.jit(jax.vmap(one))
 
     trained = [r for r in records if r.pan in by_pan and r.n_obs > 0]
-    batches = pack_patients(trained, max_batch=max_batch)
+    batches = pack_patients(
+        trained, max_batch=_round_up_to(max_batch, ndev),
+        batch_multiple=ndev,
+    )
 
+    compiled: Dict[tuple, object] = {}
     out: Dict[str, dict] = {}
     for b in batches:
         B = len(b)
@@ -343,15 +429,19 @@ def hmc_cohort(
         )
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, Bp)
+        args = (
+            jnp.asarray(theta0s),
+            jnp.asarray(_pad_rows(b.t, Bp)),
+            jnp.asarray(_pad_rows(b.y, Bp)),
+            jnp.asarray(_pad_rows(b.meta, Bp)),
+            jnp.asarray(_pad_rows(b.mask, Bp)),
+            keys,
+        )
         t0 = time.time()
         res = jax.block_until_ready(
-            run_bucket(
-                jnp.asarray(theta0s),
-                jnp.asarray(_pad_rows(b.t, Bp)),
-                jnp.asarray(_pad_rows(b.y, Bp)),
-                jnp.asarray(_pad_rows(b.meta, Bp)),
-                jnp.asarray(_pad_rows(b.mask, Bp)),
-                keys,
+            _run_compiled(
+                run_bucket, compiled, (Bp, b.n_max), args, metrics, sampler,
+                n_max=b.n_max, batch=Bp,
             )
         )
         dt = time.time() - t0
@@ -478,6 +568,7 @@ def test_cohort(
 
     metrics = stage_metrics(cfg)
     mesh = _mesh_or_none(use_mesh)
+    ndev = 1 if mesh is None else int(mesh.devices.size)
 
     folds = (
         np.full(len(records), -1, int) if folds is None else np.asarray(folds)
@@ -503,7 +594,8 @@ def test_cohort(
                     )
 
         batches = pack_patients(
-            [r for r in sel if r.n_obs > 0], max_batch=max_batch
+            [r for r in sel if r.n_obs > 0],
+            max_batch=_round_up_to(max_batch, ndev), batch_multiple=ndev,
         )
 
         def run_mode(update: bool, chunk: int):
@@ -526,6 +618,7 @@ def test_cohort(
             return jax.jit(jax.vmap(one))
 
         runners: Dict[tuple, object] = {}
+        compiled: Dict[tuple, object] = {}
         for b in batches:
             B, n_max = len(b), b.n_max
             Bp = B if mesh is None else _mesh_multiple(B, mesh)
@@ -552,7 +645,11 @@ def test_cohort(
                     runners[rkey] = run_mode(m == "mean_w_update", chunk)
                 t0 = time.time()
                 res_by_mode[m] = jax.block_until_ready(
-                    runners[rkey](*data_args)
+                    _run_compiled(
+                        runners[rkey], compiled, rkey + (Bp,), data_args,
+                        metrics, "test", fold=int(fold), mode=m,
+                        n_max=n_max, batch=Bp,
+                    )
                 )
                 dt = time.time() - t0
                 etime_by_mode[m] = dt / max(total_obs, 1)

@@ -26,6 +26,11 @@ class MetricsWriter:
             self.process = jax.process_index()
         except Exception:
             self.process = 0
+        if path and self.process != 0:
+            # one file per process: concurrent appends to a shared path can
+            # interleave mid-line on network filesystems in multi-host pods
+            root, ext = os.path.splitext(path)
+            self.path = path = f"{root}.p{self.process}{ext}"
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
 

@@ -184,7 +184,10 @@ def test_in_memory_fold_clustering_matches_file_path(rng, tmp_path):
         kernel_clustering_fold_in_memory,
     )
     from medgp_tpu.data import formats
-    from medgp_tpu.parallel.mesh import cohort_mesh, population_noise_mode
+    from medgp_tpu.parallel.mesh import (
+        cohort_mesh,
+        population_noise_modes_by_fold,
+    )
 
     spec = LMCSMSpec(2, 2, 1)
     P = 12
@@ -210,12 +213,17 @@ def test_in_memory_fold_clustering_matches_file_path(rng, tmp_path):
     pad = (-P) % n_dev
     th = np.concatenate([hyps, np.zeros((pad, spec.n_hyp))]).astype(np.float32)
     fl = np.concatenate([np.ones(P), np.zeros(pad)]).astype(np.float32)
-    noise_mode = np.asarray(
-        population_noise_mode(spec, mesh)(jnp.asarray(th), jnp.asarray(fl)),
+    cvs = np.concatenate([cv, np.full(pad, -2)]).astype(np.int32)
+    # ONE collective yields every fold's noise modes (rows 0..F-1, then -1)
+    fold_modes = np.asarray(
+        population_noise_modes_by_fold(spec, mesh, 2)(
+            jnp.asarray(th), jnp.asarray(fl), jnp.asarray(cvs)
+        ),
         np.float64,
     )
 
     for fold in (-1, 0, 1):
+        noise_mode = fold_modes[fold]
         want_theta, want_q = kernel_clustering_fold(
             spec, train_dir, file_kdir, pans, cv, fold,
             algorithm="gmm", seed=0,

@@ -1,0 +1,219 @@
+"""The trainable large-patient path: distributed NLML gradients match the
+single-device objective; neither forward nor backward materializes an (n, n)
+buffer; jitter retry succeeds on a near-singular gram over the mesh; the
+runner routes above-threshold patients through it and writes the reference
+train artifacts (the product path for the reference's 10k-100k-observation
+Slurm tier, scripts/slurm_della.json:51-61)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from medgp_tpu.data.inits import default_bounds, random_inits
+from medgp_tpu.models.gp import objective_and_grad
+from medgp_tpu.models.params import LMCSMSpec
+from medgp_tpu.models.priors import hier_gamma_prior
+from medgp_tpu.parallel.mesh import (
+    cohort_mesh,
+    large_patient_nlml,
+    large_patient_nlml_diff,
+    large_patient_objective,
+)
+from tests.test_nlml import random_theta
+from tests.test_varem import synth_lmcsm_patient
+
+
+def test_distributed_gradient_matches_single_device(rng):
+    spec = LMCSMSpec(1, 2, 1)
+    mesh = cohort_mesh()
+    d = synth_lmcsm_patient(rng, spec, n=64)
+    theta = jnp.asarray(random_theta(rng, spec), jnp.float32)
+
+    call = large_patient_nlml_diff(spec, mesh)
+
+    def loss(th):
+        v, ok = call(th, d.t, d.y, d.meta, d.mask)
+        return v
+
+    v, g = jax.value_and_grad(loss)(theta)
+
+    f = objective_and_grad(spec, d)
+    v1, g1, ok1 = f(theta)
+    assert bool(ok1)
+    assert float(v) == pytest.approx(float(v1), rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g1), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_distributed_gradient_with_padding_and_prior(rng):
+    spec = LMCSMSpec(2, 2, 1)
+    mesh = cohort_mesh()
+    d = synth_lmcsm_patient(rng, spec, n=40, n_pad=24)  # 64 rows, 40 live
+    theta = jnp.asarray(random_theta(rng, spec), jnp.float32)
+    prior = hier_gamma_prior(spec, beta_lam=0.01)
+
+    f_dist = large_patient_objective(
+        spec, mesh, d.t, d.y, d.meta, d.mask, prior=prior
+    )
+    v, g, ok = f_dist(theta)
+    assert bool(ok)
+
+    f_ref = objective_and_grad(spec, d, prior=prior)
+    v1, g1, ok1 = f_ref(theta)
+    assert bool(ok1)
+    assert float(v) == pytest.approx(float(v1), rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g1), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_backward_program_has_no_full_gram_buffer(rng):
+    """The memory-scaling claim for TRAINING: the compiled backward (value
+    and grad) program contains no (n, n) f32 buffer — only (b, n)/(n, b)
+    blocks (b = n/ndev). Mirrors the forward-only HLO assertion in
+    test_mesh.py."""
+    spec = LMCSMSpec(1, 2, 1)
+    mesh = cohort_mesh()
+    n = 64
+    d = synth_lmcsm_patient(rng, spec, n=n)
+    theta = jnp.asarray(random_theta(rng, spec), jnp.float32)
+
+    call = large_patient_nlml_diff(spec, mesh)
+
+    @jax.jit
+    def vg(th):
+        return jax.value_and_grad(lambda x: call(x, d.t, d.y, d.meta,
+                                                 d.mask)[0])(th)
+
+    txt = vg.lower(theta).compile().as_text()
+    assert f"f32[{n},{n}]" not in txt, "full gram materialized on a device"
+    assert f"f32[{n // 8},{n}]" in txt or f"f32[{n},{n // 8}]" in txt
+
+
+def test_distributed_jitter_retry_recovers_near_singular(rng):
+    """Duplicate timestamps + tiny noise make the first factorization fail;
+    the in-scan jitter escalation must recover ok=True with a finite value
+    (the mesh analog of test_nlml.py::test_jitter_retry_escalates;
+    c_inference_exact.cpp:99-111)."""
+    spec = LMCSMSpec(1, 2, 1)
+    mesh = cohort_mesh()
+    n = 64
+    t = np.repeat(np.sort(rng.uniform(0, 72, size=n // 4)), 4)
+    meta = np.tile(np.arange(2), n // 2)
+    y = rng.normal(size=n)
+    theta = random_theta(rng, spec)
+    theta[: spec.n_lik] = np.log(1e-4)  # tiny noise -> near-singular gram
+
+    args = (
+        jnp.asarray(t, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray(meta, jnp.int32), jnp.ones(n, jnp.float32),
+    )
+    call = large_patient_nlml(spec, mesh)
+    v, ok = call(jnp.asarray(theta, jnp.float32), *args)
+    assert bool(ok), "jitter escalation failed to recover on the mesh"
+    assert np.isfinite(float(v))
+
+    # and the differentiable path agrees and yields finite gradients
+    calld = large_patient_nlml_diff(spec, mesh)
+    g = jax.grad(lambda th: calld(th, *args)[0])(
+        jnp.asarray(theta, jnp.float32)
+    )
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_train_one_large_patient_end_to_end(rng):
+    from medgp_tpu.infer.large_train import train_one_large_patient
+
+    spec = LMCSMSpec(1, 2, 1)
+    mesh = cohort_mesh()
+    d = synth_lmcsm_patient(rng, spec, n=96)
+    bounds = default_bounds(spec)
+    inits = random_inits(jax.random.key(0), spec, bounds, 3)
+
+    res = train_one_large_patient(
+        spec, np.asarray(d.t), np.asarray(d.y), np.asarray(d.meta), mesh,
+        inits, prior_mode=2, eta=0.01, beta_lam=0.01,
+        top_iters=2, sub_opt_iter=8,
+    )
+    assert res["flag"]
+    assert np.isfinite(res["loss"])
+    assert res["n_obs"] == 96
+    # optimization improved on the screened init
+    value_fn = large_patient_nlml(spec, mesh)
+    from medgp_tpu.infer.large_train import pad_observations
+
+    tp, yp, mp, maskp = pad_observations(
+        np.asarray(d.t), np.asarray(d.y), np.asarray(d.meta), 64
+    )
+    v0, _ = value_fn(
+        jnp.asarray(res["init_theta"], jnp.float32),
+        jnp.asarray(tp), jnp.asarray(yp), jnp.asarray(mp),
+        jnp.asarray(maskp),
+    )
+    # MAP loss includes the prior, compare loosely: must not diverge
+    assert res["loss"] <= float(v0) + 50.0
+
+
+def test_runner_routes_large_patients(rng, tmp_path):
+    """train_cohort with a small threshold routes the big patient through
+    the sharded path and writes the same reference artifacts."""
+    from medgp_tpu.config.experiment import generate_experiment
+    from medgp_tpu.data.synthetic import (
+        sample_cohort,
+        write_reference_format_cohort,
+    )
+    from medgp_tpu.data.cohort import load_cohort
+    from medgp_tpu.parallel.runner import train_cohort
+    from medgp_tpu.data import formats
+
+    spec = LMCSMSpec(1, 2, 1)
+    recs = sample_cohort(
+        7, spec, n_patients=3, n_clusters=1, n_obs_range=(20, 30)
+    )
+    # make patient 0 "large" relative to the test threshold
+    big = recs[0]
+    reps = 4
+    big.t = np.sort(np.concatenate([big.t + i * 100 for i in range(reps)]))
+    big.y = np.tile(big.y, reps)
+    big.meta = np.tile(big.meta, reps)
+
+    data_root = str(tmp_path / "data")
+    write_reference_format_cohort(
+        os.path.join(data_root, "synth"), recs, [18, 19]
+    )
+    cfg = generate_experiment(
+        data_root=data_root, exp_root=str(tmp_path / "exp"), cohort="synth",
+        feature_list=[18, 19], kernel="LMC-SM", prior="hier-gamma",
+        Q=1, R=1, eta=0.01, beta_lam=0.01, cv_fold_num=2,
+        exp_prefix="lg",
+        opt_config=dict(
+            random_init_num=3, top_iteration_num=2,
+            iteration_num_per_update=8,
+        ),
+    )
+    records = load_cohort(cfg.data_dir, cfg.pans(), cfg.feature_list)
+    big_n = max(r.n_obs for r in records)
+    thr = big_n - 1
+    out = train_cohort(cfg, records, large_threshold=thr)
+    assert len(out) == 3
+    big_pan = next(r.pan for r in records if r.n_obs == big_n)
+    assert out[big_pan]["flag"]
+    assert np.isfinite(out[big_pan]["loss"])
+    # artifacts written in the reference format and readable back
+    pans, hyps = formats.read_train_kernels(cfg.exp_train_dir, [big_pan])
+    assert list(pans) == [big_pan]
+    np.testing.assert_allclose(
+        hyps[0], out[big_pan]["theta"], rtol=1e-6
+    )
+    # metrics record the sharded stage
+    import json
+
+    lines = [
+        json.loads(x)
+        for x in open(os.path.join(cfg.exp_log_dir, "metrics.jsonl"))
+    ]
+    assert any(r["stage"] == "train_large" for r in lines)

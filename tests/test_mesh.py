@@ -235,3 +235,37 @@ def test_lpt_bin_packing():
     naive = [np.asarray([0, 1]), np.asarray([2, 3]),
              np.asarray([4, 5]), np.asarray([6, 7])]
     assert shard_imbalance(costs, naive) > imb
+
+
+def test_population_noise_modes_by_fold_match_host(rng):
+    """One collective computes EVERY fold's noise-mode block (fold f = cv !=
+    f patients; last row = fold -1 = all); each must equal the host-side
+    float64 KDE path within the documented fp32 tolerance (PARITY.md)."""
+    from medgp_tpu.cluster.kde import kde_mode
+    from medgp_tpu.parallel.mesh import population_noise_modes_by_fold
+
+    spec = LMCSMSpec(1, 2, 1)
+    mesh = cohort_mesh()
+    B, n_folds = 16, 2
+    thetas = rng.normal(size=(B, spec.n_hyp)).astype(np.float32)
+    flags = (rng.uniform(size=B) > 0.25).astype(np.float32)
+    flags[:4] = 1.0  # every fold keeps >= 2 flagged patients
+    cv = rng.integers(0, n_folds, size=B).astype(np.int32)
+    cv[:4] = [0, 0, 1, 1]
+
+    fn = population_noise_modes_by_fold(spec, mesh, n_folds)
+    got = np.asarray(
+        fn(jnp.asarray(thetas), jnp.asarray(flags), jnp.asarray(cv))
+    )
+    assert got.shape == (n_folds + 1, spec.n_lik)
+
+    for row, fold in [(0, 0), (1, 1), (2, -1)]:
+        keep = (flags > 0) & ((cv != fold) if fold >= 0 else True)
+        for d in range(spec.n_lik):
+            want = kde_mode(
+                np.exp(thetas[keep, d].astype(np.float64)), weighted=True
+            )
+            np.testing.assert_allclose(
+                got[row, d], np.log(want), rtol=2e-3,
+                err_msg=f"fold {fold} output {d}",
+            )

@@ -327,3 +327,55 @@ def test_qmatrix_vjp_matches_plain_autodiff(rng):
             np.asarray(gn)[m], np.asarray(gn_ref)[m],
             rtol=2e-3, atol=2e-4, err_msg=name,
         )
+
+
+def test_f64_accumulation_regime_at_n4096(rng):
+    """The precision regime pinned against an f64 oracle at scale.
+
+    The reference factorizes in fp32 but ACCUMULATES logdet and the y^T alpha
+    quadratic form in double (c_inference_exact.cpp:118-152, cblas_dsdot at
+    c_kernel_LMC_SM.cpp:322). `_nlml_core` mirrors that when x64 is enabled:
+    all O(n^2)+ work stays fp32, the two scalar reductions accumulate in f64.
+    This pins the mixed regime against (a) a numpy mirror of exactly that
+    regime (tight) and (b) a full-f64 oracle (factorization-limited tol).
+    """
+    spec = LMCSMSpec(2, 4, 2)
+    n = 4096
+    data = make_patient(rng, spec, n=n)
+    theta = random_theta(rng, spec)
+
+    p = {k: np.asarray(v) for k, v in spec.unpack(jnp.asarray(theta)).items()}
+    t_np, meta_np, y_np = (
+        np.asarray(data.t), np.asarray(data.meta), np.asarray(data.y)
+    )
+    K32 = np_gram_lmcsm(
+        spec.Q, spec.D, spec.R, t_np, meta_np,
+        p["A"], p["mu"], p["v"], p["kappa"],
+    ).astype(np.float32)
+    noise = ((p["noise_std"] ** 2)[meta_np]).astype(np.float32)
+
+    # (a) numpy mirror of the mixed regime: fp32 potrf/solve, f64 reductions
+    Kn32 = (K32 + np.diag(noise)).astype(np.float32)
+    L32 = np.linalg.cholesky(Kn32)
+    alpha32 = np.linalg.solve(Kn32, y_np.astype(np.float32))
+    mixed = (
+        0.5 * np.dot(y_np.astype(np.float64), alpha32.astype(np.float64))
+        + np.sum(np.log(np.diag(L32)).astype(np.float64))
+        + 0.5 * n * np.log(2 * REF_PI)
+    )
+    # (b) full-f64 oracle
+    oracle64 = np_nlml(
+        K32.astype(np.float64), y_np.astype(np.float64),
+        noise.astype(np.float64),
+    )
+
+    with jax.enable_x64():
+        res = masked_nlml(
+            jnp.asarray(K32, jnp.float32), jnp.asarray(y_np, jnp.float32),
+            jnp.asarray(noise, jnp.float32), jnp.asarray(data.mask),
+        )
+        assert bool(res.ok)
+        got = float(res.nlml)
+
+    assert got == pytest.approx(mixed, rel=3e-5)
+    assert got == pytest.approx(oracle64, rel=2e-4)

@@ -170,3 +170,39 @@ def test_sampler_cohort_stage(synth_experiment, sampler, rng):
                 cfg.exp_train_dir, f"train_{prefix}_mean_{rec.pan}.bin"
             )
         )
+
+
+def test_fused_run_with_vi_sampler(synth_experiment, capsys):
+    """`run --sampler vi` end to end on the 8-device mesh: posterior means
+    feed clustering (BASELINE configs[2]'s posterior->clustering path), the
+    per-fold ICI noise modes drive every fold's mode kernel, and eval stays
+    finite."""
+    cfg, records, fidx = synth_experiment
+    from medgp_tpu.cli.main import main
+
+    cfg_path = os.path.join(cfg.exp_cfg_dir, "exp_setup.json")
+    main([
+        "run", "--cfg", cfg_path, "--sampler", "vi",
+        "--warmup", "20", "--samples", "4", "--restarts", "8",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    for mode in ("mean_wo_update", "mean_w_update"):
+        assert np.isfinite(summary[mode]["mae"])
+        assert 0.0 <= summary[mode]["ci_ratio"] <= 100.0
+
+    # posterior artifacts exist for trained patients
+    vi_means = [
+        f for f in os.listdir(cfg.exp_train_dir)
+        if f.startswith("train_vi_mean_")
+    ]
+    assert vi_means, "no posterior-mean artifacts written"
+
+    # metrics show the sampler stage and per-fold kernclust records
+    mpath = os.path.join(cfg.exp_log_dir, "metrics.jsonl")
+    recs_m = [json.loads(l) for l in open(mpath)]
+    assert any(r["stage"] == "vi" for r in recs_m)
+    kc_folds = {
+        int(r["fold"]) for r in recs_m if r["stage"] == "kernclust"
+    }
+    assert {-1, 0, 1} <= kc_folds

@@ -414,3 +414,52 @@ def test_eval_parity(medgpc, parity_experiment):
                 repo[fidx][metric], ref_vec, rtol=1e-10,
                 err_msg=f"feature {fidx} {metric}",
             )
+
+
+def test_mode_kernel_parity_forced_k2(medgpc, parity_experiment, tmp_path):
+    """Mode-kernel parity at k=2 (VERDICT r2: BIC picks k=1 at this cohort
+    size, leaving the per-cluster mu/sqrt(v) KDE-mode paths and the
+    multi-cluster B summing/SVD untested against the reference). Force the
+    planted 2-cluster partition (which both GMMs recover at forced k=2,
+    test_gmm_clustering_parity) into BOTH mode estimators and compare every
+    block (mode_estimate.py:242-435 vs cluster/mode.py)."""
+    cfg, records, hyps = parity_experiment
+    pans = np.asarray([r.pan for r in records])
+    comp_pan, comp_q, _ = medgpc.feat.extract_kernel_feature(
+        kernel_type="LMC-SM", Q=Q, D=D, R=R, pan_array=pans, hyp_array=hyps
+    )
+    k = 2
+    assign = np.asarray(comp_q, int)  # planted per-q partition, k=2
+
+    exp_param = dict(
+        kernel="LMC-SM", Q=Q, D=D, R=R,
+        exp_kernel_dir=str(tmp_path / "kernel"),
+        exp_figure_dir=str(tmp_path / "figure"),
+    )
+    ref_hyp = medgpc.mode.output_mode_LMC_SM(
+        fold=-1, exp_param=exp_param, pan_array=pans, hyp_array=hyps,
+        mixture_pan=comp_pan, mixture_index=comp_q,
+        mixture_cluster_num=k, mixture_cluster_assign=assign,
+        kernclust_alg="gmm", plotting_mode=1, plotting_param=None,
+    )
+
+    from medgp_tpu.cluster.mode import mode_kernel_lmcsm
+
+    repo_hyp = mode_kernel_lmcsm(
+        SPEC, pans, hyps, comp_pan, comp_q, k, assign
+    )
+    assert len(ref_hyp) == len(repo_hyp) == D + k * (D * R + 2 + D)
+
+    # noise block
+    np.testing.assert_allclose(repo_hyp[:D], ref_hyp[:D], rtol=1e-8)
+    # per-cluster mu / v KDE modes — the k>=2 path under test
+    o = D + k * D * R
+    np.testing.assert_allclose(
+        repo_hyp[o:o + 2 * k], ref_hyp[o:o + 2 * k], rtol=1e-8
+    )
+    # per-cluster assembled B (multi-cluster summing + SVD refactorization)
+    ref_B = medgpc.fast.compute_B_matrix(k, D, R, ref_hyp)
+    repo_B = medgpc.fast.compute_B_matrix(k, D, R, repo_hyp)
+    np.testing.assert_allclose(repo_B, ref_B, rtol=1e-6, atol=1e-8)
+    # the two clusters produced genuinely different mode components
+    assert not np.allclose(ref_B[0], ref_B[1])
