@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 import time
 
@@ -434,6 +435,15 @@ def main(argv=None):
 
         if argv is None:  # real CLI invocation, not an in-process call
             ensure_stable_hash_seed()
+        # MEDGP_PLATFORM overrides the backend (e.g. cpu + 8 virtual
+        # devices for a mesh run without TPU hardware). Needed because the
+        # container may pin a platform via jax.config at interpreter start,
+        # where the JAX_PLATFORMS env var cannot override it.
+        platform = os.environ.get("MEDGP_PLATFORM")
+        if platform:
+            import jax
+
+            jax.config.update("jax_platforms", platform)
         enable_compile_cache()
         _init_devices_with_watchdog()
     args.func(args)

@@ -71,7 +71,20 @@ def sample_patient(
             -2 * (REF_PI * params["v"][q]) ** 2 * rsq
         )
         K += B[q][np.ix_(meta, meta)] * kq
-    L = np.linalg.cholesky(K + 1e-6 * np.eye(n_obs))
+    # jitter escalation: an SM-LMC draw with near-duplicate timestamps can
+    # be numerically indefinite at fp64 (same failure mode the inference
+    # path's jittered_cholesky handles, c_inference_exact.cpp:99-111)
+    jitter = 1e-6 * max(1.0, float(np.trace(K)) / n_obs)
+    for _ in range(12):
+        try:
+            L = np.linalg.cholesky(K + jitter * np.eye(n_obs))
+            break
+        except np.linalg.LinAlgError:
+            jitter *= 10.0
+    else:
+        raise np.linalg.LinAlgError(
+            f"synthetic gram for {pan} not PSD even with jitter {jitter:.1e}"
+        )
     f = L @ rng.normal(size=n_obs)
     y = f + params["noise_std"][meta] * rng.normal(size=n_obs)
     return PatientRecord(pan=pan, t=t, y=y.astype(np.float32), meta=meta)
