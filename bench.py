@@ -46,6 +46,11 @@ so every later attempt hung at device init):
   * SIGTERM/SIGINT on the parent also emit-then-exit without killing the
     child (driver kills still capture the result).
 
+Batch-size note (measured round 3, v5e): throughput saturates by B=64 —
+B=64/128/256 all land ~2.5-3.0k evals/s and HMC is flat ~40 samples/s for
+16-64 patients — the chip is bound by the batched Cholesky chain, not batch
+parallelism, so the canonical B=64 protocol reports the true per-chip rate.
+
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "hmc_samples_per_sec_per_chip"}.
 """

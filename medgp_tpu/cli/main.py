@@ -90,7 +90,7 @@ def cmd_train(args):
     t0 = time.time()
     out = train_cohort(
         cfg, records, n_restarts=args.restarts, max_batch=args.max_batch,
-        large_threshold=args.large_threshold,
+        large_threshold=args.large_threshold, ckpt_dir=args.ckpt_dir,
     )
     ok = sum(1 for r in out.values() if r["flag"])
     log.info(
@@ -334,6 +334,11 @@ def build_parser():
                 help="n_obs above which a patient trains via the "
                 "row-sharded distributed objective (default: "
                 "cfg.large_patient_threshold)",
+            )
+            s.add_argument(
+                "--ckpt-dir", default=None,
+                help="per-bucket checkpoint dir: a re-run resumes at the "
+                "first unfinished bucket (utils/checkpoints.py)",
             )
         else:
             s.add_argument("--fold", type=int, default=None)

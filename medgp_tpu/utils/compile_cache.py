@@ -32,8 +32,10 @@ def ensure_stable_hash_seed() -> None:
     through)."""
     if os.environ.get("PYTHONHASHSEED") == "0":
         return
-    if "jax" in sys.modules:  # too late to matter; don't lose state
-        return
+    # NOTE: "jax already imported" is NOT a reason to skip — the container's
+    # sitecustomize imports jax in every interpreter, and exec replaces the
+    # process wholesale (nothing to lose at CLI entry). Callers must invoke
+    # this before any real work only.
     env = dict(os.environ, PYTHONHASHSEED="0")
     argv = [sys.executable]
     spec = getattr(sys.modules.get("__main__"), "__spec__", None)

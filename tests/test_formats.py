@@ -130,3 +130,40 @@ def test_bucketing_and_packing():
             assert counts[i] <= b.n_max
     edges = bucket_edges([10, 100, 500], multiple=64)
     assert edges[-1] >= 500 and all(e % 64 == 0 for e in edges)
+
+
+def test_packing_batch_multiple_promotes_remainders():
+    """With batch_multiple = mesh size, every non-final bucket's population
+    is a device multiple: dummy-patient padding happens at most once (the
+    cohort remainder in the longest bucket), not once per length bucket."""
+    import numpy as np
+
+    from medgp_tpu.data.cohort import PatientRecord, pack_patients
+
+    rng = np.random.default_rng(3)
+
+    def rec(i, n):
+        return PatientRecord(
+            pan=f"p{i}", t=np.sort(rng.uniform(0, 72, n)).astype(np.float32),
+            y=rng.normal(size=n).astype(np.float32),
+            meta=np.zeros(n, np.int32),
+        )
+
+    # 10 short + 5 medium + 3 long patients, device count 8
+    recs = (
+        [rec(i, 50) for i in range(10)]
+        + [rec(10 + i, 200) for i in range(5)]
+        + [rec(15 + i, 400) for i in range(3)]
+    )
+    batches = pack_patients(recs, max_batch=8, batch_multiple=8)
+    # every patient appears exactly once
+    all_pans = [p for b in batches for p in b.pans]
+    assert sorted(all_pans) == sorted(r.pan for r in recs)
+    # all but the final (longest) bucket are exact device multiples
+    sizes = [(b.n_max, len(b)) for b in batches]
+    last_n_max = max(n for n, _ in sizes)
+    for n_max, B in sizes:
+        if n_max != last_n_max:
+            assert B % 8 == 0, sizes
+    # remainder lives only in the longest bucket
+    assert sum(B for n, B in sizes if n == last_n_max) % 8 == len(recs) % 8

@@ -131,6 +131,8 @@ def test_full_pipeline(synth_experiment):
     assert os.path.exists(mpath)
     stages = {json.loads(l)["stage"] for l in open(mpath)}
     assert {"train", "test", "eval"} <= stages
+    # compile time is recorded separately from execute time per program
+    assert {"train_compile", "test_compile"} <= stages
     recs_m = [json.loads(l) for l in open(mpath)]
     tr = next(r for r in recs_m if r["stage"] == "train")
     assert tr["patients_per_sec"] > 0 and "nlml_mean" in tr
