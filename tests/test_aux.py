@@ -235,3 +235,69 @@ def test_plot_one_kernel_families(tmp_path, rng):
 
     with pytest.raises(NotImplementedError):
         vz.plot_one_kernel("RBF", theta, str(tmp_path))
+
+
+def test_metrics_writer_per_process_files(tmp_path, monkeypatch):
+    """Multi-host pods write one metrics file per process (concurrent
+    appends to one shared path can interleave mid-line on network
+    filesystems); process 0 keeps the canonical name."""
+    from medgp_tpu.utils import metrics as m
+
+    path = str(tmp_path / "metrics.jsonl")
+    w0 = m.MetricsWriter(path, run_id="r")
+    assert w0.path == path
+
+    class _FakeJax:
+        @staticmethod
+        def process_index():
+            return 3
+
+    monkeypatch.setitem(__import__("sys").modules, "jax", _FakeJax)
+    w3 = m.MetricsWriter(path, run_id="r")
+    assert w3.path == str(tmp_path / "metrics.p3.jsonl")
+    w3.write("train", seconds=1.0)
+    import os
+    assert os.path.exists(w3.path) and not os.path.exists(path)
+
+
+def test_ensure_stable_hash_seed_reexec_argv(monkeypatch):
+    """The hash-seed re-exec must reconstruct the exact invocation: `-m
+    pkg.mod` when run as a module, plain argv otherwise — and must be a
+    no-op once the seed is pinned."""
+    import os
+    import sys
+    import types
+
+    from medgp_tpu.utils import compile_cache as cc
+
+    calls = []
+    monkeypatch.setattr(
+        os, "execve", lambda exe, argv, env: calls.append((exe, argv, env))
+    )
+
+    # pinned -> no-op
+    monkeypatch.setenv("PYTHONHASHSEED", "0")
+    cc.ensure_stable_hash_seed()
+    assert calls == []
+
+    # unpinned, module-style __main__
+    monkeypatch.delenv("PYTHONHASHSEED", raising=False)
+    fake_main = types.SimpleNamespace(
+        __spec__=types.SimpleNamespace(name="medgp_tpu.cli.main")
+    )
+    monkeypatch.setitem(sys.modules, "__main__", fake_main)
+    monkeypatch.setattr(sys, "argv", ["/x/main.py", "train", "--cfg", "c"])
+    cc.ensure_stable_hash_seed()
+    exe, argv, env = calls[-1]
+    assert exe == sys.executable
+    assert argv == [sys.executable, "-m", "medgp_tpu.cli.main",
+                    "train", "--cfg", "c"]
+    assert env["PYTHONHASHSEED"] == "0"
+
+    # unpinned, script-style __main__
+    fake_script = types.SimpleNamespace(__spec__=None)
+    monkeypatch.setitem(sys.modules, "__main__", fake_script)
+    monkeypatch.setattr(sys, "argv", ["/x/medgp-tpu", "eval"])
+    cc.ensure_stable_hash_seed()
+    exe, argv, env = calls[-1]
+    assert argv == [sys.executable, "/x/medgp-tpu", "eval"]
