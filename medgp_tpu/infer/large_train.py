@@ -37,9 +37,9 @@ from medgp_tpu.infer.varem import varem_train
 from medgp_tpu.models.gp import PatientData
 from medgp_tpu.models.params import LMCSMSpec
 from medgp_tpu.parallel.mesh import (
-    large_patient_nlml,
     large_patient_nlml_diff,
     large_patient_objective,
+    large_patient_screen,
 )
 
 
@@ -91,14 +91,17 @@ def train_one_large_patient(
     counts = np.bincount(meta, minlength=spec.D)
     quality = bool((counts >= 2).all()) and len(t) > 2
 
-    # ---- restart screen: value-only distributed NLML per init ----
-    value_fn = large_patient_nlml(spec, mesh, max_retries=max_retries)
+    # ---- restart screen: ALL inits in one distributed program ----
+    # (a lax.map over inits inside one jit: one dispatch, one host sync,
+    # one factorization workspace live at a time — replacing S host-synced
+    # round trips)
+    screen_fn = large_patient_screen(spec, mesh, max_retries=max_retries)
     S = int(inits.shape[0])
-    values = np.full(S, np.inf)
-    for s in range(S):
-        v, ok = value_fn(jnp.asarray(inits[s], jnp.float32), *args)
-        if bool(ok) and np.isfinite(float(v)):
-            values[s] = float(v)
+    vals, oks = screen_fn(jnp.asarray(inits, jnp.float32), *args)
+    values = np.where(
+        np.asarray(oks) & np.isfinite(np.asarray(vals)),
+        np.asarray(vals, np.float64), np.inf,
+    )
     screen_ok = np.isfinite(values).any()
     best = int(np.argmin(values))
     theta0 = jnp.asarray(inits[best], jnp.float32)

@@ -330,7 +330,9 @@ def large_patient_nlml_diff(
                 rows, psum-reduced over the mesh.
 
     Returns a jitted `call(theta, t, y, meta, mask) -> (nlml, ok)`,
-    differentiable in theta and y; layout as in large_patient_nlml.
+    differentiable in theta, t and y (mask's cotangent is pinned to zero by
+    declaration — it is a {0,1} validity indicator, not a real input; meta
+    is integer-typed and gets float0); layout as in large_patient_nlml.
     """
     from jax.scipy.linalg import solve_triangular
 
@@ -365,6 +367,11 @@ def large_patient_nlml_diff(
         b = y_l.shape[0]
         n = b * ndev
         dtype = y_l.dtype
+        # mirror _nlml_core's mixed-precision regime (ops/nlml.py): the
+        # logdet / ||z||^2 reductions accumulate in double under x64 —
+        # at n up to 100k summed log terms the fp32 accumulation error is
+        # largest exactly on this path
+        acc = jnp.float64 if jax.config.jax_enable_x64 else dtype
 
         def step(carry, k):
             K_l, yres_l, z, zsq, logdet = carry
@@ -385,15 +392,19 @@ def large_patient_nlml_diff(
             zk = solve_triangular(Lkk, yk, lower=True)
             yres_l = yres_l - Lcol_l @ zk
             z = lax.dynamic_update_slice(z, zk, (k * b,))
-            zsq = zsq + jnp.sum(zk * zk)
-            logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))
+            zsq = zsq + jnp.sum(zk.astype(acc) * zk.astype(acc))
+            logdet = logdet + jnp.sum(
+                jnp.log(jnp.diagonal(Lkk)).astype(acc)
+            )
             return (K_l, yres_l, z, zsq, logdet), None
 
-        zero = jnp.asarray(0.0, dtype)
+        zero = jnp.asarray(0.0, acc)
         (L_l, _, z, zsq, logdet), _ = lax.scan(
             step, (K0, y_l, jnp.zeros(n, dtype), zero, zero),
             jnp.arange(ndev),
         )
+        zsq = zsq.astype(dtype)
+        logdet = logdet.astype(dtype)
         ok = jnp.isfinite(zsq) & jnp.isfinite(logdet)
         return L_l, z, zsq, logdet, ok
 
@@ -509,19 +520,25 @@ def large_patient_nlml_diff(
         # rows of the Q matrix: (K^{-1})_l = Z^T by symmetry
         Qbar = (0.5 * gbar) * (Z.T - jnp.outer(alpha_l, alpha))  # (b, n)
 
-        def k_of_theta(th):
+        def k_of(th, tl_, tall_):
             return gram_rows(
-                th, mult, t_l, meta_l, mask_l, t_all, meta_all,
+                th, mult, tl_, meta_l, mask_l, tall_, meta_all,
                 mask_all, g_l,
             )
 
-        _, vjp = jax.vjp(k_of_theta, theta)
-        (th_bar,) = vjp(Qbar)
+        _, vjp = jax.vjp(k_of, theta, t_l, t_all)
+        th_bar, tl_bar, tall_bar = vjp(Qbar)
         th_bar = lax.psum(th_bar, axis)
+        # exact timestamp cotangent: the row-local part plus every device's
+        # contribution through the gathered column copy of t
+        t_bar_l = tl_bar + lax.dynamic_slice(
+            lax.psum(tall_bar, axis), (d * b,), (b,)
+        )
         y_bar_l = gbar * alpha_l * mask_l
         th_bar = jnp.where(ok, th_bar, jnp.zeros_like(th_bar))
+        t_bar_l = jnp.where(ok, t_bar_l, jnp.zeros_like(t_bar_l))
         y_bar_l = jnp.where(ok, y_bar_l, jnp.zeros_like(y_bar_l))
-        return th_bar, y_bar_l
+        return th_bar, y_bar_l, t_bar_l
 
     shard_fwd = jax.shard_map(
         local_fwd,
@@ -537,7 +554,7 @@ def large_patient_nlml_diff(
             P(), P(), P(), P(axis), P(), P(axis), P(axis), P(axis),
             P(axis), P(),
         ),
-        out_specs=(P(), P(axis)),
+        out_specs=(P(), P(axis), P(axis)),
         check_vma=False,
     )
 
@@ -553,12 +570,14 @@ def large_patient_nlml_diff(
     def nlml_bwd(res, cts):
         theta, mult, L, alpha, t, y, meta, mask, ok = res
         gbar = cts[0]
-        th_bar, y_bar = shard_bwd(
+        th_bar, y_bar, t_bar = shard_bwd(
             gbar, theta, mult, L, alpha, t, y, meta, mask, ok
         )
         meta_bar = np.zeros(meta.shape, dtype=jax.dtypes.float0)
-        return th_bar, jnp.zeros_like(t), y_bar, meta_bar, \
-            jnp.zeros_like(mask)
+        # mask is a {0,1} validity indicator: non-differentiable BY
+        # DECLARATION (its cotangent is pinned to zero; meta is integer and
+        # gets float0). theta, t and y carry exact cotangents.
+        return th_bar, t_bar, y_bar, meta_bar, jnp.zeros_like(mask)
 
     nlml.defvjp(nlml_fwd, nlml_bwd)
     return jax.jit(nlml)
@@ -683,6 +702,9 @@ def large_patient_nlml(
             jitter multiplier `mult`; returns (zsq, logdet, ok)."""
             diag_add = mult.astype(dtype) * nv_l + (1.0 - mask_l)
             K0 = K_rows.at[jnp.arange(b), g_l].add(diag_add)
+            # double accumulation of the scalar reductions under x64,
+            # mirroring _nlml_core (ops/nlml.py) on the dense path
+            acc = jnp.float64 if jax.config.jax_enable_x64 else dtype
 
             def step(carry, k):
                 K_l, yres_l, zsq, logdet = carry
@@ -708,17 +730,19 @@ def large_patient_nlml(
                 )
                 zk = solve_triangular(Lkk, yk, lower=True)
                 yres_l = yres_l - Lcol_l @ zk
-                zsq = zsq + jnp.sum(zk * zk)
+                zsq = zsq + jnp.sum(zk.astype(acc) * zk.astype(acc))
                 logdet = logdet + jnp.sum(
-                    jnp.log(jnp.diagonal(Lkk))
+                    jnp.log(jnp.diagonal(Lkk)).astype(acc)
                 )
                 return (K_l, yres_l, zsq, logdet), None
 
             (Kf, _, zsq, logdet), _ = lax.scan(
                 step,
-                (K0, y_l, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)),
+                (K0, y_l, jnp.asarray(0.0, acc), jnp.asarray(0.0, acc)),
                 jnp.arange(ndev),
             )
+            zsq = zsq.astype(dtype)
+            logdet = logdet.astype(dtype)
             ok = jnp.isfinite(zsq) & jnp.isfinite(logdet)
             return zsq, logdet, ok
 
@@ -753,3 +777,33 @@ def large_patient_nlml(
         check_vma=False,
     )
     return jax.jit(shard)
+
+
+def large_patient_screen(
+    spec: LMCSMSpec,
+    mesh: Mesh,
+    axis: str = "patients",
+    max_retries: int = 10,
+):
+    """ONE-program restart screen over the distributed NLML.
+
+    Evaluates every init in `thetas` (S, H) through the row-sharded blocked
+    factorization inside a single jitted program (`lax.map`, sequential so
+    only one factorization's workspace is ever live) instead of S host-
+    synced dispatches — the round-3 screen paid an S x host-roundtrip +
+    dispatch latency tax (large_train.py history). Returns
+    `screen(thetas, t, y, meta, mask) -> (values (S,), oks (S,))`; failed
+    factorizations report +inf.
+    """
+    base = large_patient_nlml(spec, mesh, axis, max_retries)
+
+    @jax.jit
+    def screen(thetas, t, y, meta, mask):
+        def one(th):
+            v, ok = base(th, t, y, meta, mask)
+            v = jnp.where(ok & jnp.isfinite(v), v, jnp.inf)
+            return v, ok
+
+        return jax.lax.map(one, thetas)
+
+    return screen

@@ -123,9 +123,11 @@ def train_cohort(
 
     Patients with n_obs > `large_threshold` (default
     cfg.large_patient_threshold) bypass bucketing entirely and train through
-    the row-sharded distributed objective (infer/large_train.py) whenever a
-    mesh is available — the product path for the reference's 10k-100k
-    observation Slurm tier (scripts/slurm_della.json:51-61).
+    the row-sharded distributed objective (infer/large_train.py) — over the
+    cohort mesh when several devices are visible, or a 1-device mesh on a
+    single chip (the blocked objective keeps one n^2 gram resident instead
+    of the screen's chunk x n^2) — the product path for the reference's
+    10k-100k observation Slurm tier (scripts/slurm_della.json:51-61).
 
     The restart set is shared by all patients, matching the reference where
     every per-patient process seeds `srand(random_seed)` identically and
@@ -156,10 +158,21 @@ def train_cohort(
         else cfg.large_patient_threshold
     )
     large_recs = []
-    if mesh is not None and isinstance(spec, LMCSMSpec):
+    large_mesh = mesh
+    if isinstance(spec, LMCSMSpec):
         large_recs = [r for r in records if r.n_obs > thr]
         if large_recs:
             records = [r for r in records if r.n_obs <= thr]
+            if large_mesh is None:
+                # single chip: the row-blocked objective still beats dense
+                # bucketing — the restart screen's chunked vmap would
+                # materialize screen_chunk x (n,n) grams (32 x 16384^2 fp32
+                # = 32 GB >> HBM), while the blocked path keeps ONE n^2
+                # resident (~6 n^2 fp32 peak incl. workspaces; see SCALE.md
+                # for the per-chip HBM formula). Run it on a 1-device mesh.
+                from medgp_tpu.parallel.mesh import cohort_mesh
+
+                large_mesh = cohort_mesh(jax.devices()[:1])
 
     batches = pack_patients(
         records, max_batch=_round_up_to(max_batch, ndev),
@@ -295,11 +308,12 @@ def train_cohort(
     if large_recs:
         from medgp_tpu.infer.large_train import train_one_large_patient
 
+        ndev_large = int(large_mesh.devices.size)
         S_large = min(S, cfg.large_patient_restarts)
         for rec in large_recs:
             t0 = time.time()
             res = train_one_large_patient(
-                spec, rec.t, rec.y, rec.meta, mesh, inits[:S_large],
+                spec, rec.t, rec.y, rec.meta, large_mesh, inits[:S_large],
                 prior_mode=cfg.prior_index, eta=cfg.eta,
                 beta_lam=cfg.beta_lam, top_iters=cfg.top_iteration_num,
                 sub_opt_iter=cfg.iteration_num_per_update,
@@ -308,10 +322,12 @@ def train_cohort(
             log.info(
                 "trained LARGE patient %s (n=%d, row-sharded over %d "
                 "devices) in %.1fs: flag=%s loss=%.3f",
-                rec.pan, rec.n_obs, ndev, dt, res["flag"], res["loss"],
+                rec.pan, rec.n_obs, ndev_large, dt, res["flag"],
+                res["loss"],
             )
             metrics.write(
-                "train_large", pan=rec.pan, n_obs=rec.n_obs, devices=ndev,
+                "train_large", pan=rec.pan, n_obs=rec.n_obs,
+                devices=ndev_large,
                 seconds=dt, nlml=res["loss"], trained=int(res["flag"]),
             )
             out[rec.pan] = res
@@ -342,6 +358,7 @@ def hmc_cohort(
     max_depth: int = 6,
     max_batch: int = 8,
     use_mesh: Optional[bool] = None,
+    large_threshold: Optional[int] = None,
 ) -> Dict[str, dict]:
     """Posterior inference for every trained patient (the capability the
     reference lacks). Initializes each patient at its MAP hypers
@@ -413,7 +430,27 @@ def hmc_cohort(
     else:
         run_bucket = jax.jit(jax.vmap(one))
 
-    trained = [r for r in records if r.pan in by_pan and r.n_obs > 0]
+    # outlier-large patients (trained via the row-sharded objective) must
+    # not enter the bucketed sampler: its padded path materializes a full
+    # (n, n) gram per patient per chain on one device, which OOMs at the
+    # 10k-100k-observation tier. Skip them explicitly; they keep their MAP
+    # hypers downstream.
+    thr = (
+        large_threshold if large_threshold is not None
+        else cfg.large_patient_threshold
+    )
+    skipped = [r.pan for r in records if r.n_obs > thr]
+    if skipped:
+        log.warning(
+            "%s: skipping %d patient(s) above large-patient threshold "
+            "n_obs>%d (%s) — bucketed posterior sampling would build an "
+            "(n,n) gram per chain; these patients keep their MAP hypers",
+            sampler, len(skipped), thr, ", ".join(skipped[:5]),
+        )
+    trained = [
+        r for r in records
+        if r.pan in by_pan and 0 < r.n_obs <= thr
+    ]
     batches = pack_patients(
         trained, max_batch=_round_up_to(max_batch, ndev),
         batch_multiple=ndev,

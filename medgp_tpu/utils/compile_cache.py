@@ -30,7 +30,10 @@ def ensure_stable_hash_seed() -> None:
     entries, two hashes). Must run before jax is imported; no-op once the
     seed is pinned (the re-exec'd process sees PYTHONHASHSEED=0 and falls
     through)."""
-    if os.environ.get("PYTHONHASHSEED") == "0":
+    seed = os.environ.get("PYTHONHASHSEED", "")
+    if seed.isdigit():
+        # any pinned integer seed is already deterministic — re-execing
+        # would gain nothing and needlessly restart the process
         return
     # NOTE: "jax already imported" is NOT a reason to skip — the container's
     # sitecustomize imports jax in every interpreter, and exec replaces the
@@ -41,6 +44,16 @@ def ensure_stable_hash_seed() -> None:
     spec = getattr(sys.modules.get("__main__"), "__spec__", None)
     if spec is not None and spec.name:  # invoked as `python -m pkg.mod`
         argv += ["-m", spec.name] + sys.argv[1:]
+    elif sys.argv and sys.argv[0] in ("-c", "-"):
+        # `python -c '...'` / stdin: sys.argv[0] is not a re-runnable path
+        # (re-execing would run the first USER argument as code). The seed
+        # cannot be pinned retroactively; warn and continue unpinned.
+        print(
+            "medgp-tpu: cannot pin PYTHONHASHSEED under `python -c`/stdin; "
+            "persistent-compile-cache keys may vary across processes",
+            file=sys.stderr,
+        )
+        return
     else:  # invoked as a script / console entry point
         argv += sys.argv
     os.execve(sys.executable, argv, env)

@@ -301,3 +301,33 @@ def test_ensure_stable_hash_seed_reexec_argv(monkeypatch):
     cc.ensure_stable_hash_seed()
     exe, argv, env = calls[-1]
     assert argv == [sys.executable, "/x/medgp-tpu", "eval"]
+
+
+def test_ensure_stable_hash_seed_edge_cases(monkeypatch, capsys):
+    """ADVICE r3: a pinned NON-zero integer seed is already deterministic
+    (no re-exec), and `python -c`/stdin invocations must never re-exec (the
+    first user argument would be executed as code)."""
+    import os
+    import sys
+    import types
+
+    from medgp_tpu.utils import compile_cache as cc
+
+    calls = []
+    monkeypatch.setattr(
+        os, "execve", lambda exe, argv, env: calls.append((exe, argv, env))
+    )
+
+    # any digit-valued seed counts as pinned
+    monkeypatch.setenv("PYTHONHASHSEED", "7")
+    cc.ensure_stable_hash_seed()
+    assert calls == []
+
+    # `python -c '...'` -> warn-and-return, never exec the user argument
+    monkeypatch.delenv("PYTHONHASHSEED", raising=False)
+    fake_script = types.SimpleNamespace(__spec__=None)
+    monkeypatch.setitem(sys.modules, "__main__", fake_script)
+    monkeypatch.setattr(sys, "argv", ["-c", "rm -rf nothing"])
+    cc.ensure_stable_hash_seed()
+    assert calls == []
+    assert "cannot pin PYTHONHASHSEED" in capsys.readouterr().err

@@ -208,3 +208,37 @@ def test_fused_run_with_vi_sampler(synth_experiment, capsys):
         int(r["fold"]) for r in recs_m if r["stage"] == "kernclust"
     }
     assert {-1, 0, 1} <= kc_folds
+
+
+def test_sampler_skips_large_patients(synth_experiment, rng, caplog):
+    """ADVICE r3 (medium): patients above the large-patient threshold must
+    NOT enter the bucketed sampler (it would build an (n, n) gram per chain
+    on one device); they are skipped with a warning and keep MAP hypers."""
+    import logging
+
+    cfg, records, fidx = synth_experiment
+    from medgp_tpu.data import formats
+    from medgp_tpu.data.cohort import load_cohort
+    from medgp_tpu.parallel.runner import hmc_cohort
+
+    recs = load_cohort(cfg.data_dir, cfg.pans(), cfg.feature_list)[:2]
+    spec = cfg.spec()
+    for rec in recs:
+        theta = (rng.normal(size=spec.n_hyp) * 0.05).astype(np.float64)
+        theta[: spec.n_lik] = np.log(0.3)
+        formats.write_train_result(
+            cfg.exp_train_dir, rec.pan, theta, init_theta=theta,
+            var_state_flat=None, flag=True, n_obs=rec.n_obs,
+        )
+    big = max(recs, key=lambda r: r.n_obs)
+    small = min(recs, key=lambda r: r.n_obs)
+    thr = big.n_obs - 1
+    assert small.n_obs <= thr
+    with caplog.at_level(logging.WARNING, logger="medgp_tpu"):
+        out = hmc_cohort(
+            cfg, recs, num_chains=1, num_warmup=4, num_samples=4,
+            num_leapfrog=2, sampler="hmc", seed=1, large_threshold=thr,
+        )
+    assert big.pan not in out
+    assert small.pan in out
+    assert any("large-patient threshold" in m for m in caplog.messages)
