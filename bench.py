@@ -295,17 +295,33 @@ def measure_tpu(batch=BATCH, n_obs=N_OBS, steps=None):
 # TPU measurement #2: HMC posterior samples/sec (BASELINE.json metric)
 # --------------------------------------------------------------------------
 
-def measure_hmc(num_samples=None, batch=16, num_leapfrog=16):
+def measure_sampler(kind="hmc", num_samples=None, batch=16,
+                    num_leapfrog=16, max_depth=6):
+    """Posterior sampler throughput at canonical scale.
+
+    Returns (raw_samples_per_sec, min_ess_per_sec): raw draws/s (the r1-r3
+    protocol, one chain per patient, 16 fixed leapfrog steps for HMC /
+    adaptive <= 2^depth-1 for NUTS) plus the inference-efficiency number —
+    bulk-ESS (min over hypers, Vehtari et al. 2021 estimator, computed on
+    the drawn chains) per second per chip, summed over patients. The ESS
+    figure is what makes HMC and NUTS comparable: NUTS spends more
+    gradients per draw but decorrelates faster.
+    """
     import jax
     import jax.numpy as jnp
 
+    from medgp_tpu.infer.diagnostics import ess_bulk
     from medgp_tpu.infer.hmc import hmc_sample, make_potential
+    from medgp_tpu.infer.nuts import nuts_sample
     from medgp_tpu.models.gp import PatientData
     from medgp_tpu.models.params import LMCSMSpec
     from medgp_tpu.models.priors import hier_gamma_prior
 
     if num_samples is None:
-        num_samples = int(os.environ.get("MEDGP_BENCH_HMC_SAMPLES", "8"))
+        num_samples = int(os.environ.get("MEDGP_BENCH_HMC_SAMPLES", "24"))
+    if kind == "nuts":
+        batch = int(os.environ.get("MEDGP_BENCH_NUTS_BATCH", "8"))
+        num_samples = int(os.environ.get("MEDGP_BENCH_NUTS_SAMPLES", "12"))
 
     spec = LMCSMSpec(Q, D, R)
     prior = hier_gamma_prior(spec, beta_lam=0.01)
@@ -321,12 +337,19 @@ def measure_hmc(num_samples=None, batch=16, num_leapfrog=16):
     def one(theta, t1, y1, m1, key):
         data = PatientData(t=t1, y=y1, meta=m1, mask=jnp.ones_like(t1))
         pg = make_potential(spec, data, prior=prior)
-        res = hmc_sample(
-            pg, theta, key,
-            num_warmup=2, num_samples=num_samples,
-            num_leapfrog=num_leapfrog, grad_mask=gmask,
-        )
-        return res.samples[-1], res.accept_rate
+        if kind == "nuts":
+            res = nuts_sample(
+                pg, theta, key,
+                num_warmup=2, num_samples=num_samples,
+                max_depth=max_depth, grad_mask=gmask,
+            )
+        else:
+            res = hmc_sample(
+                pg, theta, key,
+                num_warmup=2, num_samples=num_samples,
+                num_leapfrog=num_leapfrog, grad_mask=gmask,
+            )
+        return res.samples, res.accept_rate
 
     f = jax.jit(jax.vmap(one))
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
@@ -335,10 +358,27 @@ def measure_hmc(num_samples=None, batch=16, num_leapfrog=16):
     np.asarray(out[0])  # compile + execute warmup
     t0 = time.perf_counter()
     out = f(*args)
-    np.asarray(out[0])
+    samples = np.asarray(out[0])          # (batch, S, H)
     dt = time.perf_counter() - t0
     # conservative: the 2 warmup draws inside the timed call are not counted
-    return batch * num_samples / dt
+    raw_rate = batch * num_samples / dt
+    try:
+        ess = sum(
+            float(np.min(ess_bulk(samples[b][None])))
+            for b in range(batch)
+        )
+        ess_rate = ess / dt
+    except Exception:
+        ess_rate = float("nan")
+    return raw_rate, ess_rate
+
+
+def measure_hmc():
+    return measure_sampler("hmc")
+
+
+def measure_nuts():
+    return measure_sampler("nuts")
 
 
 # --------------------------------------------------------------------------
@@ -351,6 +391,7 @@ _STAGES = {
     "tiny": lambda: measure_tpu(B_SMALL, N_SMALL, STEPS_SMALL),
     "tpu": lambda: measure_tpu(),
     "hmc": lambda: measure_hmc(),
+    "nuts": lambda: measure_nuts(),
 }
 
 
@@ -384,7 +425,13 @@ def _child_main(stages):
         except Exception as e:
             _say(f"FAIL {name} {type(e).__name__}: {e}")
             continue
-        _say(f"METRIC {name} {rate!r} elapsed={time.time() - t0:.1f}")
+        if isinstance(rate, tuple):  # sampler stages: (raw, min-ESS)/s
+            _say(
+                f"METRIC {name} {rate[0]!r} elapsed={time.time() - t0:.1f}"
+            )
+            _say(f"METRIC {name}_ess {rate[1]!r}")
+        else:
+            _say(f"METRIC {name} {rate!r} elapsed={time.time() - t0:.1f}")
     _say("DONE")
 
 
@@ -413,6 +460,12 @@ def _ingest(name, rate, baselines):
         )
     elif name == "hmc":
         _RESULT["hmc_samples_per_sec_per_chip"] = round(rate, 3)
+    elif name == "hmc_ess":
+        _RESULT["hmc_min_ess_per_sec_per_chip"] = round(rate, 3)
+    elif name == "nuts":
+        _RESULT["nuts_samples_per_sec_per_chip"] = round(rate, 3)
+    elif name == "nuts_ess":
+        _RESULT["nuts_min_ess_per_sec_per_chip"] = round(rate, 3)
 
 
 def main():

@@ -95,6 +95,48 @@ def _jittered_chol_cv(K, noise_diag, max_retries):
     return L, ok, mult
 
 
+def _pallas_chol_enabled(n: int) -> bool:
+    from medgp_tpu.ops.pallas_chol import (
+        pallas_chol_supported,
+        use_pallas_chol,
+    )
+
+    return use_pallas_chol() and pallas_chol_supported(n)
+
+
+def _jittered_chol_solve(Km, y_eff, noise_eff, max_retries):
+    """Pallas fast path for the forward factorization chain: one fused
+    kernel produces (L, alpha, diag-block inverses) per jitter attempt —
+    replacing XLA's cholesky + cho_solve expansions (~15 ms of the 22 ms
+    canonical objective+grad batch on a v5e; tools/profile_hot.py).
+    Semantics match _jittered_chol_cv + cho_solve exactly: per-patient
+    escalation mult = 1..1+max_retries (c_inference_exact.cpp:97-111)."""
+    from medgp_tpu.ops.pallas_chol import chol_solve
+
+    n = Km.shape[-1]
+
+    def attempt(mult):
+        return chol_solve(Km, mult.astype(Km.dtype) * noise_eff, y_eff)
+
+    def cond(state):
+        mult, _, _, _, ok = state
+        return jnp.logical_and(~ok, mult <= max_retries)
+
+    def body(state):
+        mult = state[0] + 1
+        L, a, d = attempt(mult)
+        return mult, L, a, d, _chol_ok(L)
+
+    mult0 = jnp.asarray(1, jnp.int32)
+    L0, a0, d0 = attempt(mult0)
+    mult, L, alpha, linvd, ok = lax.while_loop(
+        cond, body, (mult0, L0, a0, d0, _chol_ok(L0))
+    )
+    L = jnp.where(ok, L, jnp.eye(n, dtype=Km.dtype))
+    alpha = jnp.where(ok, alpha, jnp.zeros_like(alpha))
+    return L, alpha, linvd, ok, mult
+
+
 def _jittered_chol_cv_fwd(K, noise_diag, max_retries):
     L, ok, mult = _jittered_chol_cv(K, noise_diag, max_retries)
     return (L, ok, mult), (K, noise_diag, ok, mult)
@@ -127,6 +169,32 @@ class NLMLResult(NamedTuple):
     mult: jnp.ndarray     # () jitter multiplier used
 
 
+def _nlml_core_impl(Km, y_eff, noise_eff, max_retries):
+    """Shared forward computation. Returns ((nlml_raw, L, alpha, ok, mult),
+    linvd) — linvd is the pallas kernel's diagonal-superblock-inverse
+    residual (None on the XLA path)."""
+    linvd = None
+    if _pallas_chol_enabled(Km.shape[-1]):
+        L, alpha, linvd, ok, mult = _jittered_chol_solve(
+            Km, y_eff, noise_eff, max_retries
+        )
+    else:
+        L, ok, mult = _jittered_chol_cv(Km, noise_eff, max_retries)
+        alpha = cho_solve((L, True), y_eff)
+    # Mixed-precision regime mirroring the reference: fp32 gram/Cholesky/
+    # solves with the logdet and quadratic-form reductions ACCUMULATED in
+    # double (c_inference_exact.cpp:118-152 accumulates log L_ii and y^T
+    # alpha in `double`; cblas_dsdot at c_kernel_LMC_SM.cpp:322). Under
+    # JAX's default x64-disabled config this is an exact no-op; enabling
+    # x64 (the reference-parity regime) makes the accumulation genuinely
+    # double while everything O(n^2)+ stays fp32 — a VPU-scalar cost only.
+    acc = jnp.float64 if jax.config.jax_enable_x64 else Km.dtype
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L)).astype(acc))
+    quad = jnp.dot(y_eff.astype(acc), alpha.astype(acc))
+    out = ((0.5 * quad + logdet).astype(Km.dtype), L, alpha, ok, mult)
+    return out, linvd
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _nlml_core(Km, y_eff, noise_eff, max_retries):
     """(raw NLML, L, alpha, ok, mult) of M = Km + mult*diag(noise_eff).
@@ -141,25 +209,18 @@ def _nlml_core(Km, y_eff, noise_eff, max_retries):
     falls back to the exact replayed-Cholesky VJP. Symbolic-zero cotangents
     select the paths at trace time.
     """
-    L, ok, mult = _jittered_chol_cv(Km, noise_eff, max_retries)
-    alpha = cho_solve((L, True), y_eff)
-    # Mixed-precision regime mirroring the reference: fp32 gram/Cholesky/
-    # solves with the logdet and quadratic-form reductions ACCUMULATED in
-    # double (c_inference_exact.cpp:118-152 accumulates log L_ii and y^T
-    # alpha in `double`; cblas_dsdot at c_kernel_LMC_SM.cpp:322). Under
-    # JAX's default x64-disabled config this is an exact no-op; enabling
-    # x64 (the reference-parity regime) makes the accumulation genuinely
-    # double while everything O(n^2)+ stays fp32 — a VPU-scalar cost only.
-    acc = jnp.float64 if jax.config.jax_enable_x64 else Km.dtype
-    logdet = jnp.sum(jnp.log(jnp.diagonal(L)).astype(acc))
-    quad = jnp.dot(y_eff.astype(acc), alpha.astype(acc))
-    return (0.5 * quad + logdet).astype(Km.dtype), L, alpha, ok, mult
+    out, _ = _nlml_core_impl(Km, y_eff, noise_eff, max_retries)
+    return out
 
 
 def _nlml_core_fwd(Km, y_eff, noise_eff, max_retries):
-    out = _nlml_core(Km.value, y_eff.value, noise_eff.value, max_retries)
+    out, linvd = _nlml_core_impl(
+        Km.value, y_eff.value, noise_eff.value, max_retries
+    )
     _, L, alpha, ok, mult = out
-    return out, (Km.value, y_eff.value, noise_eff.value, L, alpha, ok, mult)
+    return out, (
+        Km.value, y_eff.value, noise_eff.value, L, alpha, ok, mult, linvd
+    )
 
 
 def _is_symzero(x) -> bool:
@@ -169,7 +230,7 @@ def _is_symzero(x) -> bool:
 
 
 def _nlml_core_bwd(max_retries, res, cts):
-    Km, y_eff, noise_eff, L, alpha, ok, mult = res
+    Km, y_eff, noise_eff, L, alpha, ok, mult, linvd = res
     d_nlml, d_L, d_alpha, _d_ok, _d_mult = cts
     dtype = L.dtype
     n = L.shape[-1]
@@ -177,7 +238,12 @@ def _nlml_core_bwd(max_retries, res, cts):
     dy = jnp.zeros_like(y_eff)
 
     if not (_is_symzero(d_nlml) and _is_symzero(d_alpha)):
-        Linv = solve_triangular(L, jnp.eye(n, dtype=dtype), lower=True)
+        if linvd is not None:
+            from medgp_tpu.ops.pallas_chol import tri_inv
+
+            Linv = tri_inv(L, linvd)
+        else:
+            Linv = solve_triangular(L, jnp.eye(n, dtype=dtype), lower=True)
         Kinv = Linv.T @ Linv
     if not _is_symzero(d_nlml):
         dKm = dKm + (0.5 * d_nlml) * (Kinv - jnp.outer(alpha, alpha))

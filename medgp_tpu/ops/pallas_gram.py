@@ -1,27 +1,38 @@
-"""Pallas TPU kernel for fused LMC-SM gram construction.
+"""Pallas TPU kernels for fused LMC-SM gram construction (fwd + bwd).
 
-The gram build is the framework's hottest non-Cholesky op: for every pair
-(i, j) it needs rsq = (t_i - t_j)^2 and sum_q B_q[meta_i, meta_j] *
-cos(2 pi r mu_q) * exp(-2 (pi v_q)^2 rsq). The XLA path
-(:func:`medgp_tpu.ops.gram.gram_lmcsm`) materializes a (n, n) rsq buffer and
-Q gathered (n, n) coefficient maps per accumulation step; this kernel fuses
-everything into one pass over (TM, TN) output tiles with no HBM
-intermediates.
+The gram build is the framework's hottest non-factorization op: for every
+pair (i, j) it needs sum_q B_q[meta_i, meta_j] * cos(2 pi mu_q d_ij) *
+exp(-2 (pi v_q)^2 d_ij^2). The XLA path
+(:func:`medgp_tpu.ops.gram.gram_lmcsm`) materializes (n, n) rsq and Q
+gathered coefficient maps per accumulation step; these kernels fuse
+everything into one pass with no HBM intermediates.
 
-TPU-native trick: the per-pair coregional coefficient gather
-B_q[meta_i, meta_j] is expressed as two small matmuls with one-hot encodings,
-    coef = onehot(meta_i) @ B_q @ onehot(meta_j)^T,
-which runs on the MXU instead of producing a scatter/gather — gathers by
-table lookup are exactly what the systolic array cannot do and one-hot
-contractions are exactly what it can.
+Two TPU-native tricks:
 
-The backward pass reuses the same structure as XLA matmuls (dB_q =
-O_i^T (dK * k_q) O_j, etc.) via custom_vjp; hyperparameter gradients only
-(t, meta are observation data).
+1. One-hot MXU gather: B_q[meta_i, meta_j] = onehot(meta_i) @ B_q @
+   onehot(meta_j)^T — coregional gathers become systolic-array matmuls.
 
-On non-TPU backends the kernel runs in interpreter mode (tests); the public
-entry point `gram_lmcsm_fused` falls back to the XLA builder for shapes the
-kernel does not support (n not a multiple of the tile).
+2. Rank-2 trig separation (round-4 roofline fix): cos is even, so
+       cos(2 pi mu (t_i - t_j)) = c_i c_j + s_i s_j,
+       c = cos(2 pi mu t), s = sin(2 pi mu t),
+   turning the per-pair O(n^2) sqrt+cos maps into O(n) sincos plus VPU
+   multiplies — only the exp(-2 (pi v)^2 rsq) map stays O(n^2) per
+   component. Measured on a v5e (B=64, n=512, Q=5): the old direct kernel
+   spent ~5.3 ms/batch forward, transcendental-bound. The same identity
+   gives the backward d/dmu term: sin(2 pi mu d) = s_i c_j - c_i s_j.
+   fp32 note: the large-phase arguments (2 pi mu t ~ 1e3 rad) carry the
+   same ~|phase|*2^-24 rounding the reference's own fp32 cos of
+   2 pi mu r has (c_kernel_LMC_SM.cpp:374-378); timestamps are shifted by
+   t_min before phase computation to keep phases as small as the data
+   allows.
+
+The backward kernel computes (dB_q, dmu_q, dv_q) from the output cotangent
+in ONE pass (the reference instead builds ~Q(DR+2+D) per-hyper n^2 maps,
+c_kernel_LMC_SM.cpp:198-327); the chain into (A, kappa) through
+B = A A^T + diag(kappa) is left to XLA autodiff (O(Q D^2 R) — negligible).
+
+On non-TPU backends the kernels run in interpreter mode (tests); the public
+entry point falls back to the XLA builder for unsupported shapes.
 """
 
 from __future__ import annotations
@@ -42,16 +53,20 @@ except ImportError:  # pragma: no cover
 
 from medgp_tpu.models.params import REF_PI, LMCSMSpec
 
-_TILE = 256
+_TILE = 512        # forward tile cap (one (512, 512) f32 tile = 1 MB VMEM)
+_BWD_MAX_N = 512   # backward kernel runs the whole matrix as one tile
+
+
+def _sincos(phase):
+    return jnp.sin(phase), jnp.cos(phase)
 
 
 def _gram_tile_kernel(Q, D, t_ref, tj_ref, mi_ref, mj_ref, B_ref, muv_ref,
                       out_ref):
-    ti = t_ref[:, 0:1]                       # (TM, 1)
+    ti = t_ref[:, 0:1]                       # (TM, 1), already t - t_min
     tj = tj_ref[:, 0:1]                      # (TN, 1)
     diff = ti - tj.T                         # (TM, TN)
     rsq = diff * diff
-    r = jnp.sqrt(rsq)
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
     ohi = (mi_ref[:, 0:1] == ids).astype(jnp.float32)   # (TM, D)
@@ -64,10 +79,11 @@ def _gram_tile_kernel(Q, D, t_ref, tj_ref, mi_ref, mj_ref, B_ref, muv_ref,
         coef = jnp.dot(left, ohj.T, preferred_element_type=jnp.float32)
         mu = muv_ref[0, q]
         v = muv_ref[1, q]
-        k = jnp.cos(2.0 * REF_PI * r * mu) * jnp.exp(
-            -2.0 * (REF_PI * v) ** 2 * rsq
-        )
-        acc = acc + coef * k
+        si, ci = _sincos(2.0 * REF_PI * mu * ti)
+        sj, cj = _sincos(2.0 * REF_PI * mu * tj)
+        ccss = ci * cj.T + si * sj.T         # cos(2 pi mu (t_i - t_j))
+        E = jnp.exp(-2.0 * (REF_PI * v) ** 2 * rsq)
+        acc = acc + coef * (ccss * E)
     out_ref[:, :] = acc
 
 
@@ -95,6 +111,75 @@ def _pallas_gram_raw(t2d, meta2d, B, mu, v, *, interpret: bool):
     )(t2d, t2d, meta2d, meta2d, B.astype(jnp.float32), muv)
 
 
+def _gram_bwd_kernel(Q, D, dK_ref, t_ref, mi_ref, B_ref, muv_ref,
+                     dB_ref, dmuv_ref):
+    """Single-tile fused VJP: dB_q = O^T (dK * k_q) O;
+    dmu_q = sum dK * coef_q * (-2 pi d sin(2 pi mu d) E_q);
+    dv_q  = sum dK * coef_q * (-4 pi^2 v_q rsq k_q)."""
+    t = t_ref[:, 0:1]                        # (n, 1)
+    diff = t - t.T
+    rsq = diff * diff
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+    oh = (mi_ref[:, 0:1] == ids).astype(jnp.float32)    # (n, D)
+    w = dK_ref[:, :]
+
+    for q in range(Q):
+        Bq = B_ref[q]
+        mu = muv_ref[0, q]
+        v = muv_ref[1, q]
+        s1, c1 = _sincos(2.0 * REF_PI * mu * t)
+        ccss = c1 * c1.T + s1 * s1.T          # cos(2 pi mu d)
+        ssin = s1 * c1.T - c1 * s1.T          # sin(2 pi mu d)
+        E = jnp.exp(-2.0 * (REF_PI * v) ** 2 * rsq)
+        kq = ccss * E
+        wk = w * kq
+        tmp = jnp.dot(wk, oh, preferred_element_type=jnp.float32)  # (n, D)
+        dB_ref[q] = jnp.dot(oh.T, tmp, preferred_element_type=jnp.float32)
+        left = jnp.dot(oh, Bq, preferred_element_type=jnp.float32)
+        coef = jnp.dot(left, oh.T, preferred_element_type=jnp.float32)
+        wc = w * coef
+        dmuv_ref[0, q] = jnp.sum(
+            wc * (-2.0 * REF_PI * diff * ssin * E)
+        )
+        dmuv_ref[1, q] = jnp.sum(
+            wc * (-4.0 * REF_PI**2 * v * rsq * kq)
+        )
+
+
+def _pallas_gram_bwd_raw(dK, t2d, meta2d, B, mu, v, *, interpret: bool):
+    n = t2d.shape[0]
+    Q, D, _ = B.shape
+    muv = jnp.stack([mu, v]).astype(jnp.float32)
+    kernel = functools.partial(_gram_bwd_kernel, Q, D)
+    # the (2, Q) scalar accumulators live in SMEM (Mosaic cannot store
+    # scalars to VMEM); dB is a vector store and stays in VMEM
+    dmuv_space = (
+        dict(memory_space=pltpu.SMEM) if _HAS_PLTPU and not interpret
+        else {}
+    )
+    dB, dmuv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Q, D, D), jnp.float32),
+            jax.ShapeDtypeStruct((2, Q), jnp.float32),
+        ),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0)),
+            pl.BlockSpec((n, 1), lambda i: (0, 0)),
+            pl.BlockSpec((n, 1), lambda i: (0, 0)),
+            pl.BlockSpec((Q, D, D), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, Q), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((Q, D, D), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, Q), lambda i: (0, 0), **dmuv_space),
+        ),
+        interpret=interpret,
+    )(dK.astype(jnp.float32), t2d, meta2d, B.astype(jnp.float32), muv)
+    return dB, dmuv[0], dmuv[1]
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
@@ -102,6 +187,7 @@ def _use_interpret() -> bool:
 @jax.custom_vjp
 def _gram_pallas(t, meta, B, mu, v):
     t2d = t.astype(jnp.float32)[:, None]
+    t2d = t2d - jnp.min(t2d)  # smaller phases; differences are unchanged
     meta2d = meta.astype(jnp.int32)[:, None]
     return _pallas_gram_raw(
         t2d, meta2d, B, mu, v, interpret=_use_interpret()
@@ -113,34 +199,38 @@ def _gram_pallas_fwd(t, meta, B, mu, v):
 
 
 def _gram_pallas_bwd(res, dK):
-    """Hyper gradients with MXU-shaped contractions (XLA):
-        dB_q  = O^T (dK * k_q) O
-        dmu_q = sum dK * coef_q * (-2 pi r sin(2 pi r mu_q) e_q)
-        dv_q  = sum dK * coef_q * (-4 pi^2 v_q rsq * k_q)
-    """
+    """Hyper cotangents in one fused kernel pass (t and meta are
+    observation data: no gradient flows to them; meta is integer-typed ->
+    float0 cotangent)."""
     t, meta, B, mu, v = res
-    Q, D, _ = B.shape
-    rsq = (t[:, None] - t[None, :]) ** 2
-    r = jnp.sqrt(rsq)
-    O = jax.nn.one_hot(meta, D, dtype=dK.dtype)  # (n, D)
-
-    def per_q(q):
-        e = jnp.exp(-2.0 * (REF_PI * v[q]) ** 2 * rsq)
-        c = jnp.cos(2.0 * REF_PI * r * mu[q])
-        kq = c * e
-        dB = O.T @ (dK * kq) @ O
-        coef = O @ B[q] @ O.T
-        dmu = jnp.sum(
-            dK * coef * (-2.0 * REF_PI * r * jnp.sin(2.0 * REF_PI * r * mu[q]) * e)
+    n = t.shape[0]
+    t2d = t.astype(jnp.float32)[:, None]
+    t2d = t2d - jnp.min(t2d)
+    meta2d = meta.astype(jnp.int32)[:, None]
+    if n <= _BWD_MAX_N:
+        dBs, dmus, dvs = _pallas_gram_bwd_raw(
+            dK, t2d, meta2d, B, mu, v, interpret=_use_interpret()
         )
-        dv = jnp.sum(
-            dK * coef * (-4.0 * REF_PI**2 * v[q] * rsq * kq)
-        )
-        return dB, dmu, dv
+    else:  # XLA fallback for outlier tiles (kept identical in math)
+        rsq = (t[:, None] - t[None, :]) ** 2
+        r = jnp.sqrt(rsq)
+        O = jax.nn.one_hot(meta, B.shape[1], dtype=dK.dtype)
 
-    dBs, dmus, dvs = jax.vmap(per_q)(jnp.arange(Q))
-    # t and meta are observation data: no hyper gradient flows to them
-    # (meta is integer-typed -> float0 cotangent)
+        def per_q(q):
+            e = jnp.exp(-2.0 * (REF_PI * v[q]) ** 2 * rsq)
+            c = jnp.cos(2.0 * REF_PI * r * mu[q])
+            kq = c * e
+            dB = O.T @ (dK * kq) @ O
+            coef = O @ B[q] @ O.T
+            dmu = jnp.sum(
+                dK * coef
+                * (-2.0 * REF_PI * r
+                   * jnp.sin(2.0 * REF_PI * r * mu[q]) * e)
+            )
+            dv = jnp.sum(dK * coef * (-4.0 * REF_PI**2 * v[q] * rsq * kq))
+            return dB, dmu, dv
+
+        dBs, dmus, dvs = jax.vmap(per_q)(jnp.arange(B.shape[0]))
     import numpy as _np
 
     dt = jnp.zeros_like(t)
@@ -154,8 +244,7 @@ _gram_pallas.defvjp(_gram_pallas_fwd, _gram_pallas_bwd)
 def pallas_supported(n: int) -> bool:
     # n must be positive and tile exactly: the kernel uses
     # tile = min(_TILE, n) and a (n // tile)^2 grid, so n must be a multiple
-    # of the tile (384 would pass an n % 128 check but leave out-of-grid
-    # tiles unwritten; n=0 would divide by zero).
+    # of the tile (n=0 would divide by zero).
     return n > 0 and n % 128 == 0 and (n <= _TILE or n % _TILE == 0)
 
 

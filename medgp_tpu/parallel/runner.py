@@ -512,16 +512,31 @@ def hmc_cohort(
             # the variational mean is the posterior mean, exactly
             means_all = np.asarray(res.mean)
         else:
+            from medgp_tpu.infer.diagnostics import summarize_diagnostics
+
             samples_all = np.asarray(res.samples)        # (Bp, C, S, H)
-            diags_all = [
-                dict(accept_rate=np.asarray(res.accept_rate)[i],
-                     step_size=np.asarray(res.step_size)[i],
-                     divergences=np.asarray(res.divergences)[i])
-                for i in range(Bp)
-            ]
+            diags_all = []
+            for i in range(Bp):
+                d = dict(
+                    accept_rate=np.asarray(res.accept_rate)[i],
+                    step_size=np.asarray(res.step_size)[i],
+                    divergences=np.asarray(res.divergences)[i],
+                )
+                # per-patient convergence: rank-normalized split-R-hat +
+                # bulk ESS per hyper block (Vehtari et al. 2021) — the
+                # instrumentation behind the "within Monte-Carlo error"
+                # acceptance gate
+                d.update(summarize_diagnostics(samples_all[i], spec))
+                diags_all.append(d)
             means_all = samples_all.reshape(
                 Bp, -1, samples_all.shape[-1]
             ).mean(1)
+            for i in range(min(B, len(b.pans))):
+                metrics.write(
+                    f"{sampler}_diag", pan=b.pans[i],
+                    ess_bulk_min=diags_all[i]["ess_bulk_min"],
+                    rhat_max=diags_all[i]["rhat_max"],
+                )
         prefix = "vi" if sampler == "vi" else "hmc"
         for i, pan in enumerate(b.pans):
             samples = samples_all[i]

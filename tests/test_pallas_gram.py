@@ -48,16 +48,17 @@ def test_pallas_supported_boundaries():
     assert not pallas_supported(0)
     assert pallas_supported(128)
     assert pallas_supported(256)
+    assert pallas_supported(384)   # single 384x384 tile under the 512 cap
     assert pallas_supported(512)
     assert pallas_supported(1024)
-    for bad in (64, 100, 384, 640, 896):
+    for bad in (64, 100, 640, 896):
         assert not pallas_supported(bad), bad
 
 
 def test_fused_fallback_at_tile_uncovered_n(rng):
-    """n=384 is 128-aligned but not tileable by the 256 grid: must take the
-    XLA fallback path and still be exact."""
-    spec, args = _case(rng, Q=2, D=3, R=1, n=384)
+    """n=640 is 128-aligned but exceeds the 512 tile cap without tiling
+    evenly: must take the XLA fallback path and still be exact."""
+    spec, args = _case(rng, Q=2, D=3, R=1, n=640)
     K = gram_lmcsm_fused(spec, *args)
     K_xla = gram_lmcsm(spec, *args)
     np.testing.assert_allclose(np.asarray(K), np.asarray(K_xla), atol=1e-6)
