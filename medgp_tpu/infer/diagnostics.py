@@ -110,18 +110,18 @@ def ess_bulk(chains: np.ndarray) -> np.ndarray:
         rho = 1.0 - (mean_acov0[None] - acov.mean(axis=0)) / var_plus[None]
     rho = np.nan_to_num(rho, nan=0.0)                   # (S, H)
 
-    # Geyer: pair sums rho_{2t} + rho_{2t+1}; keep while positive, enforce
-    # monotone decrease
-    T = (S - 1) // 2
-    p = rho[1:2 * T + 1].reshape(T, 2, H).sum(axis=1)   # (T, H)
+    # Geyer: pair sums P_k = rho_{2k} + rho_{2k+1} (P_0 includes rho_0 = 1);
+    # truncate at the first nonpositive pair, enforce monotone decrease;
+    # tau = -1 + 2 sum P_k  (= 1 + 2 sum_{t>=1} rho_t)
+    T = S // 2
+    p = rho[: 2 * T].reshape(T, 2, H).sum(axis=1)       # (T, H)
     p = np.minimum.accumulate(p, axis=0)
-    p = np.where(p > 0, p, 0.0)
-    # truncate at first nonpositive pair
     first_bad = np.argmax(p <= 0, axis=0)
     has_bad = (p <= 0).any(axis=0)
     idx = np.arange(T)[:, None]
     keep = np.where(has_bad[None], idx < first_bad[None], True)
-    tau = 1.0 + 2.0 * (p * keep).sum(axis=0) - rho[0]
+    p = np.where(p > 0, p, 0.0)
+    tau = -1.0 + 2.0 * (p * keep).sum(axis=0)
     tau = np.maximum(tau, 1.0 / np.log10(max(total, 10)))
     ess = total / tau
     ess = np.clip(ess, 1.0, float(total) * np.log10(max(total, 10)))

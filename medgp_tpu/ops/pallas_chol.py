@@ -443,3 +443,105 @@ def tri_inv(L: jnp.ndarray, linvd: jnp.ndarray) -> jnp.ndarray:
     if L.ndim == 2:
         return _tri_inv_vm(L[None], linvd[None])[0]
     return _tri_inv_vm(L, linvd)
+
+
+def _qmat_kernel(n, L_ref, linvd_ref, a_ref, c_ref, out_ref, X_ref):
+    """out = c * (L^{-T} L^{-1} - alpha alpha^T): the reference's Q-matrix
+    (c_inference_exact.cpp:168-172) in one kernel — Linv by row-block
+    substitution into VMEM scratch (never touching HBM), then a single
+    3-pass syrk + rank-1 correction (the XLA einsum for the same syrk
+    measured 2.9-3.2 ms at every precision; here it is ~one MXU pass)."""
+    BT = L_ref.shape[0]
+    NB = n // _SB
+    f32 = jnp.float32
+
+    X_ref[:, :, :] = jnp.zeros((BT, n, n), f32)
+    X_ref[:, 0:_SB, 0:_SB] = linvd_ref[:, 0]
+    for ib in range(1, NB):
+        o = ib * _SB
+        Lrow = L_ref[:, o:o + _SB, 0:o]
+        Xprev = X_ref[:, 0:o, 0:o]
+        S = _bdot_f32x3(Lrow, Xprev)
+        X_ref[:, o:o + _SB, 0:o] = -_bdot_f32x3(linvd_ref[:, ib], S)
+        X_ref[:, o:o + _SB, o:o + _SB] = linvd_ref[:, ib]
+
+    # Kinv = X^T X (contract the row dim of both operands)
+    X = X_ref[:, :, :]
+    Xh = X.astype(jnp.bfloat16).astype(f32)
+    Xl = X - Xh
+    dn = (((1,), (1,)), ((0,), (0,)))
+    d = jax.lax.Precision.DEFAULT
+    kwargs = dict(preferred_element_type=f32, precision=d)
+    kinv = (
+        jax.lax.dot_general(Xh, Xh, dn, **kwargs)
+        + jax.lax.dot_general(Xh, Xl, dn, **kwargs)
+        + jax.lax.dot_general(Xl, Xh, dn, **kwargs)
+    )
+    a = a_ref[:, 0, :]                                     # (BT, n)
+    c = c_ref[:, 0, :]                                     # (BT, 1)
+    out_ref[:, :, :] = c[:, :, None] * (
+        kinv - a[:, :, None] * a[:, None, :]
+    )
+
+
+def _qmat_batched(L, linvd, alpha, coef):
+    B, n, _ = L.shape
+    BT = max(1, _batch_tile(n) // 2)   # X scratch adds a third (BT,n,n)
+    Bp = -(-B // BT) * BT
+    NB = n // _SB
+    if Bp != B:
+        pad = Bp - B
+        L = jnp.concatenate(
+            [L, jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), (pad, n, n))]
+        )
+        linvd = jnp.concatenate(
+            [
+                linvd,
+                jnp.broadcast_to(
+                    jnp.eye(_SB, dtype=linvd.dtype), (pad, NB, _SB, _SB)
+                ),
+            ]
+        )
+        alpha = jnp.concatenate([alpha, jnp.zeros((pad, n), alpha.dtype)])
+        coef = jnp.concatenate([coef, jnp.zeros((pad, 1), coef.dtype)])
+    kernel = functools.partial(_qmat_kernel, n)
+    params = {}
+    if _HAS_PLTPU and not _use_interpret():
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()
+        )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, n, n), jnp.float32),
+        grid=(Bp // BT,),
+        in_specs=[
+            pl.BlockSpec((BT, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((BT, NB, _SB, _SB), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((BT, 1, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((BT, 1, 1), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BT, n, n), lambda i: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((BT, n, n), jnp.float32)],
+        interpret=_use_interpret(),
+        **params,
+    )(
+        L.astype(jnp.float32),
+        linvd.astype(jnp.float32),
+        alpha.astype(jnp.float32)[:, None, :],
+        coef.astype(jnp.float32)[:, None, :],
+    )
+    return out[:B]
+
+
+_qmat_vm = _collapsing(_qmat_batched)
+
+
+def qmat(L, linvd, alpha, coef):
+    """Batched-collapsing Q-matrix: coef * (K^{-1} - alpha alpha^T), with
+    K^{-1} = L^{-T}L^{-1} built from chol_solve's residuals. Pass alpha=0,
+    coef=1 to get the bare inverse."""
+    if L.ndim == 2:
+        return _qmat_vm(
+            L[None], linvd[None], alpha[None], coef[None]
+        )[0]
+    return _qmat_vm(L, linvd, alpha, coef)

@@ -38,6 +38,7 @@ entry point falls back to the XLA builder for unsupported shapes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,36 @@ def _sincos(phase):
     return jnp.sin(phase), jnp.cos(phase)
 
 
+def _dot_oh(a, b):
+    """values @ one-hot (split the FIRST operand): Mosaic's DEFAULT f32 dot
+    multiplies in bf16, rounding the value operand by ~2^-8; the {0,1} side
+    is bf16-exact, so splitting the value operand into hi+lo recovers
+    ~2^-16 relative accuracy at 2 bf16 passes (HIGHEST costs 6)."""
+    f32 = jnp.float32
+    d = jax.lax.Precision.DEFAULT
+    a_hi = a.astype(jnp.bfloat16).astype(f32)
+    a_lo = a - a_hi
+    return (
+        jnp.dot(a_hi, b, preferred_element_type=f32, precision=d)
+        + jnp.dot(a_lo, b, preferred_element_type=f32, precision=d)
+    )
+
+
+def _dot_ohb(a, b):
+    """one-hot @ values (split the SECOND operand); see _dot_oh. Keeping
+    the split on the value side avoids Mosaic relayout-heavy transposes
+    (measured: the transposed formulation cost the gram kernels ~3x their
+    arithmetic floor)."""
+    f32 = jnp.float32
+    d = jax.lax.Precision.DEFAULT
+    b_hi = b.astype(jnp.bfloat16).astype(f32)
+    b_lo = b - b_hi
+    return (
+        jnp.dot(a, b_hi, preferred_element_type=f32, precision=d)
+        + jnp.dot(a, b_lo, preferred_element_type=f32, precision=d)
+    )
+
+
 def _gram_tile_kernel(Q, D, t_ref, tj_ref, mi_ref, mj_ref, B_ref, muv_ref,
                       out_ref):
     ti = t_ref[:, 0:1]                       # (TM, 1), already t - t_min
@@ -70,13 +101,15 @@ def _gram_tile_kernel(Q, D, t_ref, tj_ref, mi_ref, mj_ref, B_ref, muv_ref,
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
     ohi = (mi_ref[:, 0:1] == ids).astype(jnp.float32)   # (TM, D)
-    ohj = (mj_ref[:, 0:1] == ids).astype(jnp.float32)   # (TN, D)
+    TN = tj.shape[0]
+    ids_c = jax.lax.broadcasted_iota(jnp.int32, (D, TN), 0)
+    ohjT = (mj_ref[:, 0:1].T == ids_c).astype(jnp.float32)  # (D, TN)
 
     acc = jnp.zeros_like(rsq)
     for q in range(Q):  # Q is small and static: unrolled
         Bq = B_ref[q]                        # (D, D)
-        left = jnp.dot(ohi, Bq, preferred_element_type=jnp.float32)
-        coef = jnp.dot(left, ohj.T, preferred_element_type=jnp.float32)
+        left = _dot_ohb(ohi, Bq)             # (TM, D), exact-ish gather
+        coef = _dot_oh(left, ohjT)
         mu = muv_ref[0, q]
         v = muv_ref[1, q]
         si, ci = _sincos(2.0 * REF_PI * mu * ti)
@@ -121,6 +154,9 @@ def _gram_bwd_kernel(Q, D, dK_ref, t_ref, mi_ref, B_ref, muv_ref,
     rsq = diff * diff
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
     oh = (mi_ref[:, 0:1] == ids).astype(jnp.float32)    # (n, D)
+    n_ = oh.shape[0]
+    ids_c = jax.lax.broadcasted_iota(jnp.int32, (D, n_), 0)
+    ohT = (mi_ref[:, 0:1].T == ids_c).astype(jnp.float32)  # (D, n)
     w = dK_ref[:, :]
 
     for q in range(Q):
@@ -133,10 +169,10 @@ def _gram_bwd_kernel(Q, D, dK_ref, t_ref, mi_ref, B_ref, muv_ref,
         E = jnp.exp(-2.0 * (REF_PI * v) ** 2 * rsq)
         kq = ccss * E
         wk = w * kq
-        tmp = jnp.dot(wk, oh, preferred_element_type=jnp.float32)  # (n, D)
-        dB_ref[q] = jnp.dot(oh.T, tmp, preferred_element_type=jnp.float32)
-        left = jnp.dot(oh, Bq, preferred_element_type=jnp.float32)
-        coef = jnp.dot(left, oh.T, preferred_element_type=jnp.float32)
+        tmp = _dot_oh(wk, oh)                                      # (n, D)
+        dB_ref[q] = _dot_ohb(ohT, tmp)
+        left = _dot_ohb(oh, Bq)
+        coef = _dot_oh(left, ohT)
         wc = w * coef
         dmuv_ref[0, q] = jnp.sum(
             wc * (-2.0 * REF_PI * diff * ssin * E)
@@ -180,6 +216,141 @@ def _pallas_gram_bwd_raw(dK, t2d, meta2d, B, mu, v, *, interpret: bool):
     return dB, dmuv[0], dmuv[1]
 
 
+_E_MAX_N = 512   # E-residual caching: (Q, n, n) per patient must fit VMEM
+
+
+def _gram_fwd_e_raw(t2d, meta2d, B, mu, v, *, interpret: bool):
+    """Forward that ALSO emits the per-component exp maps E_q as grad
+    residuals, so the backward does ZERO per-pair transcendentals (the
+    exp maps were ~half the gram VJP cost). Used only by the custom-VJP
+    forward rule — value-only callers (restart screens, NLML-only) take
+    the E-free kernel."""
+    n = t2d.shape[0]
+    Q, D, _ = B.shape
+    muv = jnp.stack([mu, v]).astype(jnp.float32)
+
+    def kernel(t_ref, mi_ref, B_ref, muv_ref, out_ref, e_ref):
+        ti = t_ref[:, 0:1]
+        diff = ti - ti.T
+        rsq = diff * diff
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+        oh = (mi_ref[:, 0:1] == ids).astype(jnp.float32)
+        n_ = oh.shape[0]
+        ids_c = jax.lax.broadcasted_iota(jnp.int32, (D, n_), 0)
+        ohT = (mi_ref[:, 0:1].T == ids_c).astype(jnp.float32)
+        acc = jnp.zeros_like(rsq)
+        for q in range(Q):
+            Bq = B_ref[q]
+            left = _dot_ohb(oh, Bq)
+            coef = _dot_oh(left, ohT)
+            mu_q = muv_ref[0, q]
+            v_q = muv_ref[1, q]
+            si, ci = _sincos(2.0 * REF_PI * mu_q * ti)
+            ccss = ci * ci.T + si * si.T
+            E = jnp.exp(-2.0 * (REF_PI * v_q) ** 2 * rsq)
+            e_ref[q] = E
+            acc = acc + coef * (ccss * E)
+        out_ref[:, :] = acc
+
+    params = {}
+    if _HAS_PLTPU and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+            jax.ShapeDtypeStruct((Q, n, n), jnp.float32),
+        ),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((n, 1), lambda i: (0, 0)),
+            pl.BlockSpec((n, 1), lambda i: (0, 0)),
+            pl.BlockSpec((Q, D, D), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, Q), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, n), lambda i: (0, 0)),
+            pl.BlockSpec((Q, n, n), lambda i: (0, 0, 0)),
+        ),
+        interpret=interpret,
+        **params,
+    )(t2d, meta2d, B.astype(jnp.float32), muv)
+
+
+def _gram_bwd_e_kernel(Q, D, dK_ref, t_ref, mi_ref, B_ref, muv_ref, e_ref,
+                       dB_ref, dmuv_ref):
+    """E-residual backward: kq = (ci cj + si sj) * E with E read back from
+    the forward — only O(n) sincos, no O(n^2) transcendentals."""
+    t = t_ref[:, 0:1]
+    diff = t - t.T
+    rsq = diff * diff
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+    oh = (mi_ref[:, 0:1] == ids).astype(jnp.float32)
+    n_ = oh.shape[0]
+    ids_c = jax.lax.broadcasted_iota(jnp.int32, (D, n_), 0)
+    ohT = (mi_ref[:, 0:1].T == ids_c).astype(jnp.float32)
+    w = dK_ref[:, :]
+
+    for q in range(Q):
+        Bq = B_ref[q]
+        mu = muv_ref[0, q]
+        v = muv_ref[1, q]
+        s1, c1 = _sincos(2.0 * REF_PI * mu * t)
+        E = e_ref[q]
+        kq = (c1 * c1.T + s1 * s1.T) * E
+        ssin = s1 * c1.T - c1 * s1.T
+        wk = w * kq
+        tmp = _dot_oh(wk, oh)
+        dB_ref[q] = _dot_ohb(ohT, tmp)
+        left = _dot_ohb(oh, Bq)
+        coef = _dot_oh(left, ohT)
+        wc = w * coef
+        dmuv_ref[0, q] = jnp.sum(wc * (-2.0 * REF_PI * diff * ssin * E))
+        dmuv_ref[1, q] = jnp.sum(wc * (-4.0 * REF_PI**2 * v * rsq * kq))
+
+
+def _pallas_gram_bwd_e_raw(dK, t2d, meta2d, B, mu, v, E, *,
+                           interpret: bool):
+    n = t2d.shape[0]
+    Q, D, _ = B.shape
+    muv = jnp.stack([mu, v]).astype(jnp.float32)
+    kernel = functools.partial(_gram_bwd_e_kernel, Q, D)
+    dmuv_space = (
+        dict(memory_space=pltpu.SMEM) if _HAS_PLTPU and not interpret
+        else {}
+    )
+    params = {}
+    if _HAS_PLTPU and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    dB, dmuv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Q, D, D), jnp.float32),
+            jax.ShapeDtypeStruct((2, Q), jnp.float32),
+        ),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0)),
+            pl.BlockSpec((n, 1), lambda i: (0, 0)),
+            pl.BlockSpec((n, 1), lambda i: (0, 0)),
+            pl.BlockSpec((Q, D, D), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, Q), lambda i: (0, 0)),
+            pl.BlockSpec((Q, n, n), lambda i: (0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((Q, D, D), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, Q), lambda i: (0, 0), **dmuv_space),
+        ),
+        interpret=interpret,
+        **params,
+    )(dK.astype(jnp.float32), t2d, meta2d, B.astype(jnp.float32), muv, E)
+    return dB, dmuv[0], dmuv[1]
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
@@ -194,20 +365,40 @@ def _gram_pallas(t, meta, B, mu, v):
     )
 
 
+def _use_e_residuals(n: int) -> bool:
+    env = os.environ.get("MEDGP_GRAM_E")
+    if env is not None:
+        return env not in ("0", "false", "False") and n <= _E_MAX_N
+    return n <= _E_MAX_N
+
+
 def _gram_pallas_fwd(t, meta, B, mu, v):
-    return _gram_pallas(t, meta, B, mu, v), (t, meta, B, mu, v)
+    n = t.shape[0]
+    if _use_e_residuals(n):
+        t2d = t.astype(jnp.float32)[:, None]
+        t2d = t2d - jnp.min(t2d)
+        meta2d = meta.astype(jnp.int32)[:, None]
+        K, E = _gram_fwd_e_raw(
+            t2d, meta2d, B, mu, v, interpret=_use_interpret()
+        )
+        return K, (t, meta, B, mu, v, E)
+    return _gram_pallas(t, meta, B, mu, v), (t, meta, B, mu, v, None)
 
 
 def _gram_pallas_bwd(res, dK):
     """Hyper cotangents in one fused kernel pass (t and meta are
     observation data: no gradient flows to them; meta is integer-typed ->
     float0 cotangent)."""
-    t, meta, B, mu, v = res
+    t, meta, B, mu, v, E = res
     n = t.shape[0]
     t2d = t.astype(jnp.float32)[:, None]
     t2d = t2d - jnp.min(t2d)
     meta2d = meta.astype(jnp.int32)[:, None]
-    if n <= _BWD_MAX_N:
+    if E is not None:
+        dBs, dmus, dvs = _pallas_gram_bwd_e_raw(
+            dK, t2d, meta2d, B, mu, v, E, interpret=_use_interpret()
+        )
+    elif n <= _BWD_MAX_N:
         dBs, dmus, dvs = _pallas_gram_bwd_raw(
             dK, t2d, meta2d, B, mu, v, interpret=_use_interpret()
         )

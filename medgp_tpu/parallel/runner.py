@@ -112,7 +112,7 @@ def train_cohort(
     records: Sequence[PatientRecord],
     n_restarts: Optional[int] = None,
     write: bool = True,
-    max_batch: int = 64,
+    max_batch: int = 128,
     screen_chunk: int = 32,
     ckpt_dir: Optional[str] = None,
     use_mesh: Optional[bool] = None,
