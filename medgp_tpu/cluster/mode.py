@@ -92,9 +92,17 @@ def mode_kernel_lmcsm(
                 m = kde_mode(all_B[:, d1, d2], weighted=True)
                 kde_B[d1, d2] = kde_B[d2, d1] = m
 
-        # SVD re-factorization (mode_estimate.py:411-420)
+        # SVD re-factorization (mode_estimate.py:411-420). For R > D the
+        # (D, D) mode-B has rank <= D < R: pad A with zero columns (the
+        # reference indexes A_[d, r] out of bounds in that regime —
+        # mode_estimate.py:418-419 — because rank > D is mathematically
+        # redundant for B = A A^T; we degrade gracefully instead).
         U, S, _ = np.linalg.svd(kde_B)
         A_ = (U * np.sqrt(np.maximum(S, 0.0)))[:, :R]
+        if A_.shape[1] < R:
+            A_ = np.concatenate(
+                [A_, np.zeros((D, R - A_.shape[1]))], axis=1
+            )
         lam = np.diag(kde_B - A_ @ A_.T).copy()
         lam[lam <= 0.0] = 1e-15
         out[D + newQ * (D * R + 2) + q * D : D + newQ * (D * R + 2) + (q + 1) * D] = np.log(lam)

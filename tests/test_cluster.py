@@ -242,3 +242,28 @@ def test_in_memory_fold_clustering_matches_file_path(rng, tmp_path):
         f_theta, f_q = formats.read_mode_kernel(mem_kdir, fold, "gmm")
         assert f_q == got_q
         np.testing.assert_allclose(f_theta, got_theta, atol=0)
+
+
+def test_mode_kernel_rank_deficient_R_exceeds_D(rng):
+    """R > D: the (D, D) mode-B has rank <= D < R; the SVD refactorization
+    must pad A with zero columns instead of crashing (the reference indexes
+    out of bounds here, mode_estimate.py:418-419 — R > D is redundant for
+    B = A A^T but must not take the pipeline down). The regime is real:
+    PT/INR experiments keep the canonical Q=5 with only D=2 features."""
+    spec = LMCSMSpec(2, 2, 4)  # R=4 > D=2
+    D, R = spec.D, spec.R
+    base = rng.normal(size=spec.n_hyp) * 0.3
+    P = 10
+    hyps = np.tile(base, (P, 1)) + rng.normal(size=(P, spec.n_hyp)) * 1e-4
+    pans = np.asarray([f"p{i}" for i in range(P)])
+    mode_theta, newQ = cluster_kernels(
+        spec, pans, hyps, algorithm="gmm", seed=0
+    )
+    assert np.all(np.isfinite(mode_theta))
+    # padded A columns are zero, so B = A A^T + diag(lam) is still PSD
+    new_spec = LMCSMSpec(newQ, D, R)
+    import jax.numpy as jnp
+    p_ = new_spec.unpack(jnp.asarray(mode_theta, jnp.float64))
+    A = np.asarray(p_["A"])
+    assert A.shape == (newQ, D, R)
+    assert np.allclose(A[:, :, D:], 0.0)

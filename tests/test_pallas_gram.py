@@ -46,19 +46,16 @@ def test_pallas_supported_boundaries():
     """The grid covers n exactly: multiples of 128 up to the tile, then
     multiples of the tile; everything else (incl. n=0) falls back."""
     assert not pallas_supported(0)
-    assert pallas_supported(128)
-    assert pallas_supported(256)
-    assert pallas_supported(384)   # single 384x384 tile under the 512 cap
-    assert pallas_supported(512)
-    assert pallas_supported(1024)
-    for bad in (64, 100, 640, 896):
+    for good in (128, 256, 384, 512, 640, 896, 1024):
+        assert pallas_supported(good), good
+    for bad in (64, 100, 1152, 2048):
         assert not pallas_supported(bad), bad
 
 
 def test_fused_fallback_at_tile_uncovered_n(rng):
-    """n=640 is 128-aligned but exceeds the 512 tile cap without tiling
-    evenly: must take the XLA fallback path and still be exact."""
-    spec, args = _case(rng, Q=2, D=3, R=1, n=640)
+    """n=1152 is 128-aligned but exceeds the batched kernels' 1024 VMEM
+    cap: must take the XLA fallback path and still be exact."""
+    spec, args = _case(rng, Q=2, D=3, R=1, n=1152)
     K = gram_lmcsm_fused(spec, *args)
     K_xla = gram_lmcsm(spec, *args)
     np.testing.assert_allclose(np.asarray(K), np.asarray(K_xla), atol=1e-6)

@@ -12,7 +12,7 @@ rm -rf $ROOT && mkdir -p $ROOT
 python - <<'EOF'
 from medgp_tpu.data.synthetic import sample_cohort, write_reference_format_cohort
 from medgp_tpu.models.params import LMCSMSpec
-recs = sample_cohort(718, LMCSMSpec(5, 2, 8), n_patients=100, n_clusters=3,
+recs = sample_cohort(718, LMCSMSpec(5, 2, 2), n_patients=100, n_clusters=3,
                      n_obs_range=(40, 220))
 write_reference_format_cohort("/tmp/refbudget/data/ptinr", recs, [18, 19])
 print("staged", len(recs), "patients")
@@ -21,8 +21,8 @@ python -u -m medgp_tpu.cli.main generate --data-root $ROOT/data \
   --exp-root $ROOT/exp --cohort ptinr \
   --feature-config examples/feature_PT_INR.json \
   --opt-config examples/opt_prior2.json --kernel LMC-SM --prior hier-gamma \
-  --Q 5 --R 8 --eta 0.01 --beta-lam 0.01 --cv-fold-num 10 --exp-prefix full
-CFG=$ROOT/exp/full_k7_q5_r8_p2_e0.01/config/exp_setup.json
+  --Q 5 --R 2 --eta 0.01 --beta-lam 0.01 --cv-fold-num 10 --exp-prefix full
+CFG=$ROOT/exp/full_k7_q5_r2_p2_e0.01/config/exp_setup.json
 /usr/bin/time -v python -u -m medgp_tpu.cli.main run --cfg $CFG 2>&1 | tail -40
 
 # reduced-budget control on the SAME cohort
@@ -30,8 +30,8 @@ python -u -m medgp_tpu.cli.main generate --data-root $ROOT/data \
   --exp-root $ROOT/exp --cohort ptinr \
   --feature-config examples/feature_PT_INR.json \
   --kernel LMC-SM --prior hier-gamma \
-  --Q 5 --R 8 --eta 0.01 --beta-lam 0.01 --cv-fold-num 10 --exp-prefix reduced
-CFG2=$ROOT/exp/reduced_k7_q5_r8_p2_e0.01/config/exp_setup.json
+  --Q 5 --R 2 --eta 0.01 --beta-lam 0.01 --cv-fold-num 10 --exp-prefix reduced
+CFG2=$ROOT/exp/reduced_k7_q5_r2_p2_e0.01/config/exp_setup.json
 python - <<EOF
 import json
 p = "$CFG2"
