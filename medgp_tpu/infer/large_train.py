@@ -8,13 +8,16 @@ fp32 gram at n = 100k is 40 GB — so the runner routes it here instead:
   * the observation axis is padded to a mesh multiple and ROW-SHARDED over
     all chips (the honest ICI-era analog of "sequence-length scaling",
     SURVEY §5.7);
-  * the restart screen evaluates a small init set through the value-only
-    distributed NLML (`parallel.mesh.large_patient_nlml`). The budget
-    defaults to cfg.large_patient_restarts (8) rather than the reference's
-    1000 — each screen evaluation here is a full O(n^3/ndev) distributed
-    factorization, and the screen exists to avoid pathological starts, which
-    a handful of draws already does at this n (the likelihood dominates any
-    init at 10^4+ observations);
+  * the restart screen evaluates cfg.large_patient_restarts inits (64)
+    through ONE distributed program (`parallel.mesh.large_patient_screen`,
+    lax.map over inits). 64 — not the reference's 1,000, and not the
+    earlier default of 8: a measured budget experiment at n = 8,192
+    canonical scale (tools/screen_budget_exp.py, SCALE.md §7) found the
+    best-of-8 init ~5,200 nats ABOVE the best-of-64 basin (~27% of the
+    init spread), so 8 was not enough; 64 inits cost only ~40 s on one
+    v5e because the screen is a single program (the reference's 1,000
+    would cost ~10 min of pure screening per large patient — available
+    via --restarts for parity runs);
   * SCG / hier-gamma varEM run UNCHANGED over the distributed
     objective+gradient (`parallel.mesh.large_patient_objective`, custom VJP,
     no (n, n) buffer in forward or backward) via varem_train's

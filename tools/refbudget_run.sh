@@ -23,7 +23,7 @@ python -u -m medgp_tpu.cli.main generate --data-root $ROOT/data \
   --opt-config examples/opt_prior2.json --kernel LMC-SM --prior hier-gamma \
   --Q 5 --R 2 --eta 0.01 --beta-lam 0.01 --cv-fold-num 10 --exp-prefix full
 CFG=$ROOT/exp/full_k7_q5_r2_p2_e0.01/config/exp_setup.json
-/usr/bin/time -v python -u -m medgp_tpu.cli.main run --cfg $CFG 2>&1 | tail -40
+python -u -m medgp_tpu.cli.main run --cfg $CFG 2>&1 | tail -40
 
 # reduced-budget control on the SAME cohort
 python -u -m medgp_tpu.cli.main generate --data-root $ROOT/data \
