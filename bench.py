@@ -16,9 +16,10 @@ Measurement protocol:
     host transfer at the end. The data dependency makes the number robust
     against async-dispatch runtimes and dispatch-level caching
     -> evaluations/sec/chip.
-  * Sampler path: vmapped multi-patient HMC (16 chains, 16 leapfrog steps
-    per draw, canonical scale) -> posterior samples/sec/chip, the second
-    BASELINE.json metric.
+  * Sampler path: vmapped multi-patient HMC (32 patients x 1 chain, 16
+    leapfrog steps per draw, canonical scale; batch raised 16 -> 32 in
+    round 4 with the batch-amortizing kernels) -> posterior samples/sec/
+    chip + min-bulk-ESS/sec, and the same for NUTS.
   * Baseline: the reference *algorithm* (analytic per-hyper gradient maps,
     Q-matrix from two GEMMs, fp32 BLAS) transcribed to numpy and timed on
     this host's CPU at the same (n, Q, D, R). Constants are cached in
@@ -299,7 +300,7 @@ def measure_tpu(batch=BATCH, n_obs=N_OBS, steps=None):
 # TPU measurement #2: HMC posterior samples/sec (BASELINE.json metric)
 # --------------------------------------------------------------------------
 
-def measure_sampler(kind="hmc", num_samples=None, batch=16,
+def measure_sampler(kind="hmc", num_samples=None, batch=32,
                     num_leapfrog=16, max_depth=6):
     """Posterior sampler throughput at canonical scale.
 

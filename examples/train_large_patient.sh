@@ -14,4 +14,5 @@ THRESH=${2:-8192}
 
 python -m medgp_tpu.cli.main train --cfg "$CFG" \
   --large-threshold "$THRESH" \
-  --restarts 8   # screen budget for large patients (cfg.large_patient_restarts caps it)
+  --restarts 64  # screen budget for large patients (cfg.large_patient_restarts caps it;
+                 # 8 was shown basin-insufficient at n=8192, SCALE.md §7)

@@ -47,6 +47,19 @@ def data_quality_ok(data: PatientData, n_outputs: int) -> jnp.ndarray:
     return jnp.all(counts >= 2)
 
 
+def adaptive_screen_chunk(
+    batch: int, n: int, budget_bytes: int = 4 << 30, live: int = 3
+) -> int:
+    """Restart-screen chunk so batch * chunk * n^2 grams (x `live`
+    concurrently-resident fp32 buffers) stay inside the HBM budget.
+
+    The fixed chunk=32 default OOMed at 16 GB once the runner batched 128
+    patients per bucket at n=512 (128 x 32 x 512^2 fp32 x ~4 live = 16 GB,
+    observed on chip): the chunk must shrink as batch x n^2 grows."""
+    c = budget_bytes // max(batch * n * n * 4 * live, 1)
+    return int(max(1, min(32, c)))
+
+
 def screen_inits(
     spec: KernelSpec,
     data: PatientData,
@@ -100,6 +113,7 @@ def train_one_patient(
     top_iters: int = 100,
     sub_opt_iter: int = 30,
     max_retries: int = 10,
+    screen_chunk: int = 32,
 ) -> TrainResult:
     """Full single-patient training. `prior_mode` and iteration budgets are
     static (compile-time); `init_thetas` is (n_restarts, H)."""
@@ -107,7 +121,9 @@ def train_one_patient(
     n_outputs = spec.D if isinstance(spec, LMCSMSpec) else 1
     quality = data_quality_ok(data, n_outputs)
 
-    screen = screen_inits(spec, data, init_thetas, max_retries)
+    screen = screen_inits(
+        spec, data, init_thetas, max_retries, chunk=screen_chunk
+    )
 
     if prior_mode == 2:
         if not isinstance(spec, LMCSMSpec):

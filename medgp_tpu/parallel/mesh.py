@@ -74,6 +74,11 @@ def sharded_train_step(
     """
 
     def local_train(t, y, meta, mask):
+        from medgp_tpu.infer.map_train import adaptive_screen_chunk
+
+        # per-DEVICE local batch sets the screen memory footprint
+        chunk = adaptive_screen_chunk(*t.shape)
+
         def one(t1, y1, m1, k1):
             return train_one_patient(
                 spec,
@@ -84,6 +89,7 @@ def sharded_train_step(
                 beta_lam=beta_lam,
                 top_iters=top_iters,
                 sub_opt_iter=sub_opt_iter,
+                screen_chunk=chunk,
             )
 
         return jax.vmap(one)(t, y, meta, mask)

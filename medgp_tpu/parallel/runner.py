@@ -113,7 +113,6 @@ def train_cohort(
     n_restarts: Optional[int] = None,
     write: bool = True,
     max_batch: int = 128,
-    screen_chunk: int = 32,
     ckpt_dir: Optional[str] = None,
     use_mesh: Optional[bool] = None,
     large_threshold: Optional[int] = None,
@@ -209,11 +208,16 @@ def train_cohort(
     else:
         @partial(jax.jit, static_argnames=())
         def batch_fn(data: PatientData):
+            from medgp_tpu.infer.map_train import adaptive_screen_chunk
+
+            chunk = adaptive_screen_chunk(*data.t.shape)
+
             def one(t, y, meta, mask):
                 return train_one_patient(
                     spec,
                     PatientData(t=t, y=y, meta=meta, mask=mask),
                     inits,
+                    screen_chunk=chunk,
                     **train_kwargs,
                 )
 
@@ -356,7 +360,7 @@ def hmc_cohort(
     seed: int = 0,
     sampler: str = "hmc",
     max_depth: int = 6,
-    max_batch: int = 8,
+    max_batch: int = 32,
     use_mesh: Optional[bool] = None,
     large_threshold: Optional[int] = None,
 ) -> Dict[str, dict]:

@@ -197,3 +197,17 @@ def test_train_one_patient_full_path(rng):
     assert float(res0.loss) < float(
         screen_inits(spec, data, thetas).best_loss
     )
+
+
+def test_adaptive_screen_chunk_bounds():
+    """Screen chunk shrinks as batch x n^2 grows so batch*chunk*n^2 fp32
+    grams stay inside the HBM budget (the fixed chunk=32 OOMed a 16 GB
+    chip at B=128, n=512 — observed on hardware, round 4)."""
+    from medgp_tpu.infer.map_train import adaptive_screen_chunk
+
+    assert adaptive_screen_chunk(1, 128) == 32      # small: full chunk
+    assert adaptive_screen_chunk(128, 256) == 32
+    c = adaptive_screen_chunk(128, 512)
+    assert 1 <= c <= 16                             # shrunk
+    assert 128 * c * 512 * 512 * 4 * 3 <= (4 << 30)
+    assert adaptive_screen_chunk(1, 16384) == 1     # single large patient
