@@ -331,3 +331,31 @@ def test_ensure_stable_hash_seed_edge_cases(monkeypatch, capsys):
     cc.ensure_stable_hash_seed()
     assert calls == []
     assert "cannot pin PYTHONHASHSEED" in capsys.readouterr().err
+
+
+def test_pack_patients_hbm_envelope_cap():
+    """Bucket batches are capped so B * n_max^2 stays within the validated
+    64 x 512^2 HBM envelope (B=128 x n=512 full-budget train programs
+    compiled to ~16 GB and faulted a 16 GB chip — measured, round 4)."""
+    import numpy as np
+
+    from medgp_tpu.data.cohort import PatientRecord, pack_patients
+
+    rng = np.random.default_rng(0)
+
+    def rec(i, n):
+        t = np.sort(rng.uniform(0, 100, n))
+        return PatientRecord(
+            pan=f"p{i}", t=t, y=rng.normal(size=n),
+            meta=np.zeros(n, np.int32),
+        )
+
+    recs = [rec(i, 400 + (i % 50)) for i in range(200)]  # n_max bucket 512
+    batches = pack_patients(recs, max_batch=128)
+    for b in batches:
+        assert len(b) * b.n_max * b.n_max <= 64 * 512 * 512
+    assert sum(len(b) for b in batches) == 200
+
+    small = [rec(i, 100) for i in range(200)]            # n_max bucket 128
+    batches = pack_patients(small, max_batch=128)
+    assert max(len(b) for b in batches) == 128           # cap not binding
