@@ -113,23 +113,32 @@ def sharded_train_step(
     return step
 
 
-def sharded_test_step(run_one, mesh: Mesh, axis: str = "patients"):
+def sharded_test_step(run_one, mesh: Mesh, axis: str = "patients",
+                      n_rep_args: int = 0):
     """Shard a vmappable per-patient test function over the mesh.
 
-    `run_one(t, y, meta, mask, ut, uv)` is the single-patient online
-    imputation (e.g. a partial of
+    `run_one(*rep_args, t, y, meta, mask, ut, uv)` is the single-patient
+    online imputation (e.g. a partial of
     :func:`medgp_tpu.infer.online.online_impute`); the result pytree comes
     back sharded along the patient axis. This is the multi-chip form of the
     reference's one-test-job-per-patient fan-out (main_one_test.cpp:45-117).
+
+    `n_rep_args` leading arguments (e.g. the fold's mode theta + test
+    prior) are REPLICATED across the mesh and not vmapped — passing them as
+    runtime arguments instead of closure constants lets every CV fold reuse
+    one compiled program per (mode, n_max, batch) shape.
     """
 
-    def local(t, y, meta, mask, ut, uv):
-        return jax.vmap(run_one)(t, y, meta, mask, ut, uv)
+    def local(*args):
+        rep, arr = args[:n_rep_args], args[n_rep_args:]
+        return jax.vmap(
+            run_one, in_axes=(None,) * n_rep_args + (0,) * 6
+        )(*rep, *arr)
 
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis),) * 6,
+        in_specs=(P(),) * n_rep_args + (P(axis),) * 6,
         out_specs=P(axis),
         check_vma=False,
     )
