@@ -219,7 +219,7 @@ def cmd_run(args):
         # clustering consumes the posterior mean instead of the MAP point
         n_post = 0
         for i, p in enumerate(trained_pans):
-            if p in sout:
+            if p in sout and "post_mean" in sout[p]:
                 hyps[i] = sout[p]["post_mean"]
                 n_post += 1
         log.info(

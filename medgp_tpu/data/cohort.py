@@ -123,12 +123,16 @@ def pack_patients(
     batches = []
     for n_max in sorted(buckets):
         group = buckets[n_max]
-        # HBM envelope: cap each bucket's batch so B * n_max^2 never
-        # exceeds the validated 64 x 512^2 footprint — the full-budget
+        # HBM envelope: cap each bucket's batch so B * n_max^2 stays
+        # inside the device-scaled gram-entry budget (utils/hbm.py) —
+        # validated at 64 x 512^2 on a 16 GiB v5e, where the full-budget
         # train program at B=128 x n=512 compiled to ~16 GB HBM and hit
-        # reproducible device faults at execute on a 16 GB v5e; B=64 at
-        # n=512 (and B=128 at n<=256) are measured-stable (round 4).
-        cap = max(1, (64 * 512 * 512) // (n_max * n_max))
+        # reproducible device faults at execute; B=64 at n=512 (and
+        # B=128 at n<=256) are measured-stable (round 4). Larger-HBM
+        # devices (v5p: 95 GiB) get proportionally larger caps.
+        from medgp_tpu.utils.hbm import bucket_cap
+
+        cap = bucket_cap(n_max)
         if batch_multiple > 1:
             cap = max(batch_multiple, cap - cap % batch_multiple)
         eff = cap if max_batch is None else min(max_batch, cap)

@@ -48,14 +48,19 @@ def data_quality_ok(data: PatientData, n_outputs: int) -> jnp.ndarray:
 
 
 def adaptive_screen_chunk(
-    batch: int, n: int, budget_bytes: int = 4 << 30, live: int = 3
+    batch: int, n: int, budget_bytes: Optional[int] = None, live: int = 3
 ) -> int:
     """Restart-screen chunk so batch * chunk * n^2 grams (x `live`
-    concurrently-resident fp32 buffers) stay inside the HBM budget.
+    concurrently-resident fp32 buffers) stay inside the HBM budget
+    (device-scaled; 4 GiB validated on a 16 GiB v5e — utils/hbm.py).
 
     The fixed chunk=32 default OOMed at 16 GB once the runner batched 128
     patients per bucket at n=512 (128 x 32 x 512^2 fp32 x ~4 live = 16 GB,
     observed on chip): the chunk must shrink as batch x n^2 grows."""
+    if budget_bytes is None:
+        from medgp_tpu.utils.hbm import screen_budget_bytes
+
+        budget_bytes = screen_budget_bytes()
     c = budget_bytes // max(batch * n * n * 4 * live, 1)
     return int(max(1, min(32, c)))
 

@@ -45,6 +45,7 @@ entry point falls back to the XLA builder for unsupported shapes.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
@@ -69,8 +70,21 @@ def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
+_fallback_logged: set = set()
+
+
 def pallas_supported(n: int) -> bool:
-    return n > 0 and n % 128 == 0 and n <= _MAX_N
+    ok = n > 0 and n % 128 == 0 and n <= _MAX_N
+    if not ok and n > _MAX_N and n % 128 == 0 and n not in _fallback_logged:
+        # announced (once per shape) so the mid-size XLA-builder fallback —
+        # which materializes (n,n) rsq plus Q gathered coefficient maps —
+        # is visible as a perf regression rather than silent.
+        _fallback_logged.add(n)
+        logging.getLogger(__name__).warning(
+            "gram n=%d exceeds the single-tile Pallas cap (%d); falling "
+            "back to the XLA builder for this bucket", n, _MAX_N,
+        )
+    return ok
 
 
 def _gbt(n: int, Q: int) -> int:

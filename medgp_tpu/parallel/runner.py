@@ -89,18 +89,36 @@ def _mesh_multiple(B: int, mesh) -> int:
     return -(-B // n_dev) * n_dev
 
 
-def _pad_batch_pow2(B: int, mesh=None, minimum: int = 8) -> int:
+def _pad_batch_pow2(
+    B: int, mesh=None, minimum: int = 8, n_max: Optional[int] = None
+) -> int:
     """Canonical padded batch: next power of two (>= minimum), then a mesh
     multiple. Bounds the number of DISTINCT compiled program shapes to
     O(log max_batch) per (stage, n_max) instead of one per raw bucket size
     — a 1,024-patient canonical run compiled 100 test programs for 1,554 s
     against ~200 s of execute before this (round 4); masked dummy rows
-    cost at most 2x execute on the padded fraction."""
-    Bp = minimum
+    cost at most 2x execute on the padded fraction.
+
+    When `n_max` is given, padding never grows the PER-DEVICE footprint
+    beyond the HBM envelope (utils/hbm.py): a bucket that pack_patients
+    capped at B=4 for n_max=2048 must not be padded back to 8, which
+    would recreate the exact 128*512^2-entry programs that device-fault
+    on a 16 GiB v5e. With a mesh the batch is sharded across devices, so
+    the envelope applies to Bp / n_dev."""
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    cap = None
+    if n_max is not None:
+        from medgp_tpu.utils.hbm import bucket_cap
+
+        cap = bucket_cap(n_max) * n_dev
+        minimum = min(minimum, cap)
+    Bp = max(1, minimum)
     while Bp < B:
         Bp *= 2
+    if cap is not None and Bp > max(B, cap):
+        Bp = max(B, cap)
     if mesh is not None:
-        Bp = -(-Bp // int(mesh.devices.size)) * int(mesh.devices.size)
+        Bp = -(-Bp // n_dev) * n_dev
     return Bp
 
 
@@ -214,7 +232,9 @@ def train_cohort(
 
         def run_batch(data: PatientData):
             B = data.t.shape[0]
-            padded = pad_batch_to(data, _pad_batch_pow2(B, mesh))
+            padded = pad_batch_to(
+                data, _pad_batch_pow2(B, mesh, n_max=data.t.shape[1])
+            )
             res = _run_compiled(
                 step, compiled, padded.t.shape, (padded,), metrics, "train",
                 n_max=padded.t.shape[1], batch=padded.t.shape[0],
@@ -242,7 +262,9 @@ def train_cohort(
             from medgp_tpu.parallel.mesh import pad_batch_to
 
             B = data.t.shape[0]
-            padded = pad_batch_to(data, _pad_batch_pow2(B))
+            padded = pad_batch_to(
+                data, _pad_batch_pow2(B, n_max=data.t.shape[1])
+            )
             res = _run_compiled(
                 batch_fn, compiled, padded.t.shape, (padded,), metrics,
                 "train", n_max=padded.t.shape[1], batch=padded.t.shape[0],
@@ -471,6 +493,10 @@ def hmc_cohort(
             "(n,n) gram per chain; these patients keep their MAP hypers",
             sampler, len(skipped), thr, ", ".join(skipped[:5]),
         )
+        metrics.write(
+            "sampler_skip", sampler=sampler, reason="large_patient",
+            threshold=thr, pans=",".join(skipped), n_skipped=len(skipped),
+        )
     trained = [
         r for r in records
         if r.pan in by_pan and 0 < r.n_obs <= thr
@@ -482,9 +508,14 @@ def hmc_cohort(
 
     compiled: Dict[tuple, object] = {}
     out: Dict[str, dict] = {}
+    # machine-visible record of the large-patient skips (not just a log
+    # line): downstream consumers expecting a sample entry per trained
+    # patient can see WHY one is absent.
+    for pan in skipped:
+        out[pan] = {"flag": False, "reason": "large_patient"}
     for b in batches:
         B = len(b)
-        Bp = _pad_batch_pow2(B, mesh)
+        Bp = _pad_batch_pow2(B, mesh, n_max=b.n_max)
         theta0s = _pad_rows(
             np.stack([by_pan[p] for p in b.pans]).astype(np.float32), Bp
         )
@@ -607,8 +638,15 @@ def obs_output_order(t: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return order
 
 
-def _test_chunk_size(B: int, n: int, budget_bytes: int = 2 << 30) -> int:
-    """Timestamp-map chunk so B * chunk * n^2 fp32 grams stay inside HBM."""
+def _test_chunk_size(
+    B: int, n: int, budget_bytes: Optional[int] = None
+) -> int:
+    """Timestamp-map chunk so B * chunk * n^2 fp32 grams stay inside HBM
+    (device-scaled; 2 GiB validated on a 16 GiB v5e — utils/hbm.py)."""
+    if budget_bytes is None:
+        from medgp_tpu.utils.hbm import test_budget_bytes
+
+        budget_bytes = test_budget_bytes()
     c = budget_bytes // max(B * n * n * 4, 1)
     return int(max(1, min(16, c)))
 
@@ -706,7 +744,7 @@ def test_cohort(
 
         for b in batches:
             B, n_max = len(b), b.n_max
-            Bp = _pad_batch_pow2(B, mesh)
+            Bp = _pad_batch_pow2(B, mesh, n_max=n_max)
             # unique timestamps padded to the bucket length (T <= n always)
             ut = np.zeros((Bp, n_max), np.float32)
             uv = np.zeros((Bp, n_max), bool)

@@ -239,6 +239,9 @@ def test_sampler_skips_large_patients(synth_experiment, rng, caplog):
             cfg, recs, num_chains=1, num_warmup=4, num_samples=4,
             num_leapfrog=2, sampler="hmc", seed=1, large_threshold=thr,
         )
-    assert big.pan not in out
-    assert small.pan in out
+    # ADVICE r4 (low): the skip is machine-visible in the returned dict,
+    # not just a log line — no samples, explicit flag + reason.
+    assert out[big.pan] == {"flag": False, "reason": "large_patient"}
+    assert "samples" not in out[big.pan]
+    assert small.pan in out and "post_mean" in out[small.pan]
     assert any("large-patient threshold" in m for m in caplog.messages)
