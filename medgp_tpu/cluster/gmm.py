@@ -52,16 +52,20 @@ def _log_gaussian(X, means, covs, reg=1e-6):
     return -0.5 * (d * jnp.log(2 * jnp.pi) + maha) - logdet[None, :]
 
 
-def _e_step(X, p: GMMParams, reg):
+def _e_step(X, w, p: GMMParams, reg):
+    """Weighted E-step: padded rows (w=0) contribute nothing to the
+    responsibilities or the (weighted-mean) log-likelihood."""
     logp = _log_gaussian(X, p.means, p.covs, reg) + jnp.log(p.weights)[None, :]
     lognorm = jax.scipy.special.logsumexp(logp, axis=1, keepdims=True)
-    resp = jnp.exp(logp - lognorm)
-    return resp, jnp.mean(lognorm)
+    resp = jnp.exp(logp - lognorm) * w[:, None]
+    mean_ll = jnp.sum(lognorm[:, 0] * w) / jnp.sum(w)
+    return resp, mean_ll
 
 
-def _m_step(X, resp, reg):
+def _m_step(X, w, resp, reg):
+    """resp is already row-weighted (see _e_step)."""
     nk = resp.sum(axis=0) + 1e-10  # (k,)
-    weights = nk / X.shape[0]
+    weights = nk / jnp.sum(w)
     means = (resp.T @ X) / nk[:, None]
     diff = X[:, None, :] - means[None, :, :]
     covs = jnp.einsum("nk,nkd,nke->kde", resp, diff, diff) / nk[:, None, None]
@@ -70,10 +74,11 @@ def _m_step(X, resp, reg):
     return GMMParams(weights=weights, means=means, covs=covs)
 
 
-def _kmeans_pp_init(key, X, k):
+def _kmeans_pp_init(key, X, w, k):
     n = X.shape[0]
     k1, k2 = jax.random.split(key)
-    first = jax.random.randint(k1, (), 0, n)
+    pw = w / jnp.sum(w)
+    first = jax.random.choice(k1, n, p=pw)
     centers0 = jnp.tile(X[first], (k, 1))
 
     def add_center(carry, i):
@@ -81,6 +86,7 @@ def _kmeans_pp_init(key, X, k):
         d2 = jnp.min(
             jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2, -1), axis=1
         )
+        d2 = d2 * w  # padded rows never become centers
         key, sub = jax.random.split(key)
         probs = d2 / (d2.sum() + 1e-30)
         idx = jax.random.choice(sub, n, p=probs)
@@ -94,7 +100,7 @@ def _kmeans_pp_init(key, X, k):
     def lloyd(centers, _):
         d2 = jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2, -1)
         assign = jnp.argmin(d2, axis=1)
-        onehot = jax.nn.one_hot(assign, k)
+        onehot = jax.nn.one_hot(assign, k) * w[:, None]
         nk = onehot.sum(0) + 1e-10
         centers = (onehot.T @ X) / nk[:, None]
         return centers, None
@@ -103,12 +109,12 @@ def _kmeans_pp_init(key, X, k):
     return centers
 
 
-def _fit_single(key, X, k, max_iter, tol, reg):
+def _fit_single(key, X, w, k, max_iter, tol, reg):
     n, d = X.shape
-    centers = _kmeans_pp_init(key, X, k)
+    centers = _kmeans_pp_init(key, X, w, k)
     d2 = jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2, -1)
-    resp0 = jax.nn.one_hot(jnp.argmin(d2, axis=1), k)
-    p0 = _m_step(X, resp0, reg)
+    resp0 = jax.nn.one_hot(jnp.argmin(d2, axis=1), k) * w[:, None]
+    p0 = _m_step(X, w, resp0, reg)
 
     def cond(st):
         p, ll, prev_ll, it = st
@@ -116,8 +122,8 @@ def _fit_single(key, X, k, max_iter, tol, reg):
 
     def body(st):
         p, ll, prev_ll, it = st
-        resp, new_ll = _e_step(X, p, reg)
-        p = _m_step(X, resp, reg)
+        resp, new_ll = _e_step(X, w, p, reg)
+        p = _m_step(X, w, resp, reg)
         return (p, new_ll, ll, it + 1)
 
     init = (p0, jnp.asarray(jnp.inf, X.dtype), jnp.asarray(-jnp.inf, X.dtype),
@@ -128,7 +134,7 @@ def _fit_single(key, X, k, max_iter, tol, reg):
     from medgp_tpu.infer.scg import _masked_while
 
     p, ll, _, n_it = _masked_while(cond, body, init)
-    _, final_ll = _e_step(X, p, reg)
+    _, final_ll = _e_step(X, w, p, reg)
     return p, final_ll
 
 
@@ -140,26 +146,37 @@ def fit_gmm(
     max_iter: int = 2000,
     tol: float = 1e-3,
     reg: float = 1e-6,
+    w: jnp.ndarray | None = None,
 ):
-    """Best-of-n_init EM fit for a fixed component count k."""
+    """Best-of-n_init EM fit for a fixed component count k.
+
+    `w` (n,) are 0/1 sample weights: rows with w=0 are PADDING, invisible
+    to seeding, EM, and the likelihood. Padding every fold's sample count
+    to a power of two keeps ONE compiled program per k across the 11
+    per-fold refits (the round-4 kernclust stage spent most of its 576 s
+    recompiling this function for 11 distinct row counts)."""
+    if w is None:
+        w = jnp.ones(X.shape[0], X.dtype)
     keys = jax.random.split(key, n_init)
     params, lls = jax.vmap(
-        lambda kk: _fit_single(kk, X, k, max_iter, tol, reg)
+        lambda kk: _fit_single(kk, X, w, k, max_iter, tol, reg)
     )(keys)
     best = jnp.argmax(lls)
     p = jax.tree.map(lambda a: a[best], params)
     return p, lls[best]
 
 
-def bic(X, p: GMMParams, mean_ll) -> jnp.ndarray:
-    n, d = X.shape
+def bic(X, p: GMMParams, mean_ll, n_eff=None) -> jnp.ndarray:
+    n = float(X.shape[0]) if n_eff is None else n_eff
+    d = X.shape[1]
     k = p.weights.shape[0]
     n_params = k * d + k * d * (d + 1) // 2 + (k - 1)
     return -2.0 * mean_ll * n + n_params * jnp.log(jnp.asarray(float(n)))
 
 
 def predict(X, p: GMMParams, reg=1e-6):
-    resp, _ = _e_step(X, p, reg)
+    w = jnp.ones(X.shape[0], X.dtype)
+    resp, _ = _e_step(X, w, p, reg)
     return jnp.argmax(resp, axis=1)
 
 
@@ -195,21 +212,37 @@ def run_gmm_bic(
                 lowest, best_k, best_assign = b, k, g.predict(X)
         return best_k, np.asarray(best_assign)
 
-    Xj = jnp.asarray(X, jnp.float32)
+    n = X.shape[0]
+    # pad the sample count to a power of two: one compiled EM program per
+    # k serves every fold's slightly-different cohort size
+    n_pad = 1
+    while n_pad < n:
+        n_pad *= 2
+    Xp = np.zeros((n_pad, X.shape[1]), np.float32)
+    Xp[:n] = X
+    wp = np.zeros(n_pad, np.float32)
+    wp[:n] = 1.0
+    Xj = jnp.asarray(Xp)
+    wj = jnp.asarray(wp)
     key = jax.random.key(seed)
     lowest, best_k, best_assign = np.inf, None, None
     for k in range(1, max_cluster_num + 1):
         key, sub = jax.random.split(key)
         # cap EM iterations: full-cov EM on small n converges quickly; 2000
         # sklearn-style iterations are a safety net, not a requirement
-        p, mean_ll = fit_gmm(
-            sub, Xj, k, n_init=init_num, max_iter=max_iter_num, tol=1e-3
+        p, mean_ll = _fit_gmm_jit(
+            sub, Xj, wj, k, init_num, max_iter_num
         )
-        b = float(bic(Xj, p, mean_ll))
+        b = float(bic(Xj, p, mean_ll, n_eff=float(n)))
         if b < lowest:
             lowest, best_k = b, k
-            best_assign = np.asarray(predict(Xj, p))
+            best_assign = np.asarray(predict(Xj, p))[:n]
     return best_k, best_assign
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _fit_gmm_jit(key, X, w, k, n_init, max_iter):
+    return fit_gmm(key, X, k, n_init=n_init, max_iter=max_iter, tol=1e-3, w=w)
 
 
 def run_clustering_top(algorithm, feature, max_cluster_num=None, init_num=10,

@@ -21,7 +21,7 @@ from typing import Sequence
 
 import numpy as np
 
-from medgp_tpu.cluster.kde import kde_mode
+from medgp_tpu.cluster.kde import kde_mode, kde_mode_batch
 from medgp_tpu.models.params import LMCSMSpec, SESpec, SMSpec
 
 
@@ -52,9 +52,9 @@ def mode_kernel_lmcsm(
     if noise_mode is not None:
         out[:D] = np.asarray(noise_mode, np.float64)
     else:
-        for d in range(D):
-            all_nu = np.exp(hyps[:, d])
-            out[d] = np.log(kde_mode(all_nu, weighted=True))
+        out[:D] = np.log(
+            kde_mode_batch(np.exp(hyps[:, :D]).T, weighted=True)
+        )
 
     pan_index = {p: i for i, p in enumerate(pans)}
     A_all = hyps[:, D : D + Q * D * R].reshape(P, Q, D, R)
@@ -77,20 +77,23 @@ def mode_kernel_lmcsm(
         out[D + newQ * (D * R + 1) + q] = np.log(mode_vsr)
 
         # per-patient summed B over this cluster's components
-        # (mode_estimate.py:352-383)
-        upans = np.unique(comp_pan[sel])
+        # (mode_estimate.py:352-383), assembled in one einsum + scatter-add
+        # (per-entry addition order matches the reference's loop)
+        upans, inv = np.unique(comp_pan[sel], return_inverse=True)
+        A_c = A_all[rows, qs]                         # (C, D, R)
+        B_comp = np.einsum("cdr,cer->cde", A_c, A_c)
+        B_comp[:, np.arange(D), np.arange(D)] += kap_all[rows, qs]
         all_B = np.zeros((len(upans), D, D))
-        for bi, pan in enumerate(upans):
-            pidx = pan_index[pan]
-            for qq in qs[comp_pan[sel] == pan]:
-                A = A_all[pidx, qq]
-                all_B[bi] += A @ A.T + np.diag(kap_all[pidx, qq])
+        np.add.at(all_B, inv, B_comp)
 
+        # element-wise weighted KDE modes over patients, all upper-triangle
+        # elements in ONE batched pass (round-5: was a D(D+1)/2 Python loop
+        # of scalar KDE fits — the kernclust stage's wall-clock hot spot)
+        iu0, iu1 = np.triu_indices(D)
+        modes = kde_mode_batch(all_B[:, iu0, iu1].T, weighted=True)
         kde_B = np.zeros((D, D))
-        for d1 in range(D):
-            for d2 in range(d1, D):
-                m = kde_mode(all_B[:, d1, d2], weighted=True)
-                kde_B[d1, d2] = kde_B[d2, d1] = m
+        kde_B[iu0, iu1] = modes
+        kde_B[iu1, iu0] = modes
 
         # SVD re-factorization (mode_estimate.py:411-420). For R > D the
         # (D, D) mode-B has rank <= D < R: pad A with zero columns (the

@@ -85,6 +85,18 @@ def _qc(values: np.ndarray, times: np.ndarray, lb, ub):
     return times, values
 
 
+def _value_qc(values: np.ndarray, lb, ub):
+    """NaN removal + value bounds ONLY (no time filter): the rule the
+    reference uses for BOTH the first-pass membership count and the
+    population statistics (jmlr_mimic_heart_failure.py:146-162, 181-236)."""
+    v = values[~np.isnan(values)]
+    if lb is not None:
+        v = v[v > lb]
+    if ub is not None:
+        v = v[v <= ub]
+    return v
+
+
 def extract_cohort(
     diagnoses: pd.DataFrame,
     admissions: pd.DataFrame,
@@ -95,6 +107,19 @@ def extract_cohort(
     """Run the full ETL; returns the final admission id list (hadm_{id}).
 
     Event frames need columns HADM_ID, ITEMID, CHARTTIME, VALUENUM.
+
+    Faithful to the reference's TWO-pass structure (cross-run-verified
+    against the executed jmlr_mimic_heart_failure.py in
+    tests/test_etl_crossrun.py):
+      pass 1 (membership + stats): value-QC only, NO time filter —
+        admissions need >= SAMPLE_THRESHOLD bound-respecting values per
+        signal; population mean/std come from these values over the
+        pass-1 cohort in float64;
+      pass 2 (files): per-admission series in float32 (the reference
+        casts before QC), full QC incl. the positive-time filter; any
+        admission dropping below the threshold here keeps its feature
+        files on disk but is excluded from cohort_hadm_match.txt
+        (the reference's qc_remove_hadm, :245-333).
     """
     os.makedirs(out_dir, exist_ok=True)
     hadms = select_heart_failure_admissions(diagnoses, admissions)
@@ -108,57 +133,83 @@ def extract_cohort(
         for (idx, name, item), (lb, ub) in zip(VITAL_ITEMS, VITAL_BOUNDS)
     ] + [(idx, name, item, 0.0, None, labevents) for idx, name, item in LAB_ITEMS]
 
-    # per-admission per-feature QC'd series
-    series: Dict[int, Dict[int, Tuple[np.ndarray, np.ndarray]]] = {}
-    stats_values: Dict[int, list] = {idx: [] for idx, *_ in specs}
+    # ---- pass 1: membership on value-QC'd counts (no time filter) ----
+    raw_values: Dict[int, Dict[int, np.ndarray]] = {}
     for idx, name, item, lb, ub, events in specs:
         df = events[
             events["HADM_ID"].isin(hadms) & (events["ITEMID"] == item)
+        ]
+        for hadm, g in df.groupby("HADM_ID"):
+            raw_values.setdefault(int(hadm), {})[idx] = (
+                g["VALUENUM"].values.astype(np.float64)
+            )
+    first_pass = [
+        int(h)
+        for h in hadms
+        if all(
+            len(_value_qc(raw_values.get(int(h), {}).get(idx, np.zeros(0)),
+                          lb, ub)) >= SAMPLE_THRESHOLD
+            for idx, name, item, lb, ub, events in specs
+        )
+    ]
+
+    # ---- population stats: value-QC'd values over the pass-1 cohort ----
+    fp_set = set(first_pass)
+    for idx, name, item, lb, ub, events in specs:
+        vals = [
+            _value_qc(raw_values[h][idx], lb, ub)
+            for h in first_pass
+            if idx in raw_values.get(h, {})
+        ]
+        allv = np.concatenate(vals) if vals else np.zeros(1)
+        formats.write_feature_stat(
+            os.path.join(out_dir, f"feature{idx}_stat.bin"),
+            float(np.nanmean(allv)), float(np.nanstd(allv)),
+        )
+
+    # ---- pass 2: per-admission float32 series with the full QC ----
+    series: Dict[int, Dict[int, Tuple[np.ndarray, np.ndarray]]] = {}
+    for idx, name, item, lb, ub, events in specs:
+        df = events[
+            events["HADM_ID"].isin(fp_set) & (events["ITEMID"] == item)
         ].copy()
         df["CHARTTIME"] = pd.to_datetime(df["CHARTTIME"])
         for hadm, g in df.groupby("HADM_ID"):
             g = g.sort_values("CHARTTIME")
             t0 = admit_time.loc[hadm]
+            # integer-second difference then float32 hours — exactly the
+            # reference's (charttime - ref)/1e9 -> f32 /3600 chain
             t = (
-                (g["CHARTTIME"] - t0).dt.total_seconds().values / 3600.0
-            ).astype(np.float64)
-            v = g["VALUENUM"].values.astype(np.float64)
+                ((g["CHARTTIME"] - t0).dt.total_seconds()).values
+            ).astype(np.float32) / np.float32(3600.0)
+            v = g["VALUENUM"].values.astype(np.float32)
             tq, vq = _qc(v, t, lb, ub)
             series.setdefault(int(hadm), {})[idx] = (tq, vq)
-            stats_values[idx].append(vq)
 
-    # admission filter: every signal needs >= SAMPLE_THRESHOLD QC'd points
-    final = []
-    for hadm in hadms:
-        per = series.get(int(hadm), {})
-        if all(
-            len(per.get(idx, ((), ()))[0]) >= SAMPLE_THRESHOLD
-            for idx, *_ in specs
-        ):
-            final.append(int(hadm))
+    qc_removed = set()
+    for hadm in first_pass:
+        per = series.get(hadm, {})
+        for idx, *_ in specs:
+            if len(per.get(idx, ((), ()))[0]) < SAMPLE_THRESHOLD:
+                qc_removed.add(hadm)
+                break
 
-    # cohort stats over QC'd values of the final cohort
-    for idx, name, item, lb, ub, events in specs:
-        vals = np.concatenate(
-            [series[h][idx][1] for h in final if idx in series.get(h, {})]
-        ) if final else np.zeros(1)
-        formats.write_feature_stat(
-            os.path.join(out_dir, f"feature{idx}_stat.bin"),
-            float(np.nanmean(vals)), float(np.nanstd(vals)),
-        )
-
-    # per-admission feature files
+    # feature files for EVERY pass-1 admission (reference writes the dirs
+    # before deciding qc_remove_hadm); the id list excludes the removed
     pans = []
-    for hadm in final:
+    for hadm in first_pass:
         pan = f"hadm_{hadm}"
-        pans.append(pan)
         pdir = os.path.join(out_dir, pan)
         os.makedirs(pdir, exist_ok=True)
         for idx, *_ in specs:
-            t, v = series[hadm][idx]
+            t, v = series.get(hadm, {}).get(
+                idx, (np.zeros(0, np.float32), np.zeros(0, np.float32))
+            )
             formats.write_feature_txt(
                 os.path.join(pdir, f"feature{idx}.txt"), t, v
             )
+        if hadm not in qc_removed:
+            pans.append(pan)
 
     with open(os.path.join(out_dir, "cohort_hadm_match.txt"), "w") as f:
         for pan in pans:

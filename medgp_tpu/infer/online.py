@@ -52,7 +52,12 @@ from medgp_tpu.models.gp import (
 )
 from medgp_tpu.models.params import KernelSpec, LMCSMSpec
 from medgp_tpu.models.priors import PriorSpec
-from medgp_tpu.ops.nlml import jittered_cholesky, mask_gram
+from medgp_tpu.ops.nlml import (
+    _jittered_chol_solve,
+    _pallas_chol_enabled,
+    jittered_cholesky,
+    mask_gram,
+)
 
 
 class OnlineResult(NamedTuple):
@@ -90,20 +95,37 @@ def _loo_at_timestamp(
     m_S: jnp.ndarray,
     max_retries: int,
 ):
-    """LOO mean/var for every obs in S from one masked factorization."""
+    """LOO mean/var for every obs in S from one masked factorization.
+
+    On TPU with supported shapes this runs the fused Pallas factorization
+    chain (ops/pallas_chol.py): one kernel yields L, alpha AND the
+    diagonal-superblock inverses, and `tri_inv` turns those into L^{-1}
+    by pure MXU substitution — replacing the XLA cholesky + cho_solve +
+    solve_triangular(L, I) expansions this path used through round 4
+    (measured 5.7-5.8 ms per canonical batch each, SCALE.md §4b; the
+    test stage was paying them per unique timestamp)."""
     n = K.shape[-1]
     dtype = K.dtype
     m_S = m_S.astype(dtype)
     Km = mask_gram(K, m_S)
-    chol = jittered_cholesky(Km, noise_var * m_S, max_retries=max_retries)
-    L = chol.L
     y_eff = y * m_S
-    alpha = cho_solve((L, True), y_eff)
-    Linv = solve_triangular(L, jnp.eye(n, dtype=dtype), lower=True)
+    noise_eff = noise_var * m_S
+    if _pallas_chol_enabled(n):
+        from medgp_tpu.ops.pallas_chol import tri_inv
+
+        L, alpha, linvd, ok, _mult = _jittered_chol_solve(
+            Km, y_eff, noise_eff, max_retries
+        )
+        Linv = tri_inv(L, linvd)
+    else:
+        chol = jittered_cholesky(Km, noise_eff, max_retries=max_retries)
+        L, ok = chol.L, chol.ok
+        alpha = cho_solve((L, True), y_eff)
+        Linv = solve_triangular(L, jnp.eye(n, dtype=dtype), lower=True)
     diag_inv = jnp.sum(Linv * Linv, axis=0)  # diag(K_S^{-1})
     mean = y - alpha / diag_inv
     var = 1.0 / diag_inv
-    return mean, var, chol.ok
+    return mean, var, ok
 
 
 def _predict_timestamp(

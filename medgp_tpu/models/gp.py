@@ -53,18 +53,38 @@ def use_pallas_gram() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def noiseless_gram(spec: KernelSpec, theta: jnp.ndarray, data: PatientData):
+def noiseless_gram(
+    spec: KernelSpec,
+    theta: jnp.ndarray,
+    data: PatientData,
+    masked: bool = False,
+):
+    """Noiseless gram; with `masked=True` the result is the MASKED gram
+    (mask_gram semantics: zero padded rows/cols, unit diagonal there) —
+    fused into the Pallas gram kernel's epilogue on the fast path so the
+    objective never runs a separate O(n^2) masking pass."""
+    if masked and not isinstance(spec, LMCSMSpec):
+        from medgp_tpu.ops.nlml import mask_gram
+
+        K = noiseless_gram(spec, theta, data)
+        return mask_gram(K, data.mask.astype(K.dtype))
     p = spec.unpack(theta)
     if isinstance(spec, LMCSMSpec):
         if use_pallas_gram():
             from medgp_tpu.ops.pallas_gram import gram_lmcsm_fused
 
             return gram_lmcsm_fused(
-                spec, data.t, data.meta, p["A"], p["mu"], p["v"], p["kappa"]
+                spec, data.t, data.meta, p["A"], p["mu"], p["v"],
+                p["kappa"], mask=data.mask if masked else None,
             )
-        return gram_lmcsm(
+        K = gram_lmcsm(
             spec, data.t, data.meta, p["A"], p["mu"], p["v"], p["kappa"]
         )
+        if masked:
+            from medgp_tpu.ops.nlml import mask_gram
+
+            K = mask_gram(K, data.mask.astype(K.dtype))
+        return K
     if isinstance(spec, SESpec):
         return gram_se(data.t, p["lengthscale"], p["scale"])
     if isinstance(spec, SMSpec):
@@ -101,11 +121,12 @@ def nlml_fn(
     """
 
     def loss(theta):
-        K = noiseless_gram(spec, theta, data)
+        K = noiseless_gram(spec, theta, data, masked=True)
         nv = noise_variance(spec, theta, data.meta)
         mean = spec.mean_vector(theta, data.meta)
         res = masked_nlml(
-            K, data.y, nv, data.mask, mean=mean, max_retries=max_retries
+            K, data.y, nv, data.mask, mean=mean, max_retries=max_retries,
+            pre_masked=True,
         )
         value = res.nlml
         if prior is not None:

@@ -309,19 +309,22 @@ def masked_nlml(
     mask: jnp.ndarray,
     mean: jnp.ndarray | None = None,
     max_retries: int = 10,
+    pre_masked: bool = False,
 ) -> NLMLResult:
     """NLML of a padded patient.
 
-    K: (n, n) noiseless gram (unmasked); y: (n,) observations; noise_var: (n,)
-    per-observation Gaussian noise variance sigma^2_{meta_i}; mask: (n,) in
-    {0,1}; mean: optional (n,) prior mean (defaults to zero, like the
-    reference's c_meanfunc_zero).
+    K: (n, n) noiseless gram (unmasked unless `pre_masked`); y: (n,)
+    observations; noise_var: (n,) per-observation Gaussian noise variance
+    sigma^2_{meta_i}; mask: (n,) in {0,1}; mean: optional (n,) prior mean
+    (defaults to zero, like the reference's c_meanfunc_zero).
+    `pre_masked=True` means K already carries mask_gram semantics (e.g.
+    the Pallas gram kernel's fused epilogue) and skips the O(n^2) pass.
     """
     dtype = K.dtype
     mask = mask.astype(dtype)
     y_eff = (y if mean is None else y - mean) * mask
     noise_eff = noise_var * mask
-    Km = mask_gram(K, mask)
+    Km = K if pre_masked else mask_gram(K, mask)
     nlml_raw, L, alpha, ok, mult = _nlml_core(
         Km, y_eff, noise_eff, max_retries
     )

@@ -150,7 +150,11 @@ def _onehots(m_ref, n, D, BT):
     return oh, ohT
 
 
-def _gram_fwd_kernel(Q, D, t_ref, m_ref, B_ref, muv_ref, out_ref):
+def _gram_fwd_kernel(Q, D, masked, t_ref, m_ref, B_ref, muv_ref, *rest):
+    if masked:
+        k_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     BT = t_ref.shape[0]
     n = t_ref.shape[2]
     t_row = t_ref[:, 0:1, :]                              # (BT, 1, n)
@@ -175,15 +179,32 @@ def _gram_fwd_kernel(Q, D, t_ref, m_ref, B_ref, muv_ref, out_ref):
         ccss = c_col * c_row + s_col * s_row
         E = jnp.exp(-2.0 * (REF_PI * v_row) ** 2 * rsq)
         acc = acc + coef * (ccss * E)
+    if masked:
+        # fused mask_gram epilogue (round-5 glue-gap closure): zero padded
+        # rows/cols and put 1 on their diagonal, HERE, instead of a
+        # separate O(n^2) XLA pass over the HBM-resident gram
+        # (ops/nlml.py:mask_gram was ~1 full extra read+write of the
+        # batch's grams per objective evaluation).
+        mk_row = k_ref[:, 0:1, :]                         # (BT, 1, n)
+        mk_col = jnp.transpose(mk_row, (0, 2, 1))         # (BT, n, 1)
+        ids_r = jax.lax.broadcasted_iota(jnp.int32, (BT, n, n), 1)
+        ids_c = jax.lax.broadcasted_iota(jnp.int32, (BT, n, n), 2)
+        eyef = (ids_r == ids_c).astype(acc.dtype)
+        # (1 - m_i) on the diagonal via an outer product with ones (Mosaic
+        # cannot lane-broadcast a (BT, n, 1) directly into (BT, n, n))
+        diag_fill = eyef * ((1.0 - mk_col) * jnp.ones_like(t_row))
+        acc = acc * (mk_col * mk_row) + diag_fill
     out_ref[:, :, :] = acc
 
 
-def _gram_fwd_batched(t, meta, B, mu, v):
-    """(Bb, n) t/meta, (Bb, Q, D, D) B, (Bb, Q) mu/v -> (Bb, n, n)."""
+def _gram_fwd_batched(t, meta, B, mu, v, mask=None):
+    """(Bb, n) t/meta, (Bb, Q, D, D) B, (Bb, Q) mu/v [, (Bb, n) mask]
+    -> (Bb, n, n); with mask the mask_gram epilogue is fused in."""
     Bb, n = t.shape
     Q, D = B.shape[1], B.shape[2]
     BT = _gbt(n, Q)
     Bp = -(-Bb // BT) * BT
+    masked = mask is not None
     muv = jnp.stack([mu, v], axis=1).astype(jnp.float32)  # (Bb, 2, Q)
     if Bp != Bb:
         pad = Bp - Bb
@@ -191,35 +212,50 @@ def _gram_fwd_batched(t, meta, B, mu, v):
         meta = jnp.concatenate([meta, jnp.zeros((pad, n), meta.dtype)])
         B = jnp.concatenate([B, jnp.zeros((pad, Q, D, D), B.dtype)])
         muv = jnp.concatenate([muv, jnp.ones((pad, 2, Q), muv.dtype)])
-    kernel = functools.partial(_gram_fwd_kernel, Q, D)
+        if masked:
+            mask = jnp.concatenate([mask, jnp.zeros((pad, n), mask.dtype)])
+    kernel = functools.partial(_gram_fwd_kernel, Q, D, masked)
     interp = _use_interpret()
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, n, n), jnp.float32),
-        grid=(Bp // BT,),
-        in_specs=[
-            pl.BlockSpec((BT, 1, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BT, 1, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BT, Q, D, D), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((BT, 2, Q), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((BT, n, n), lambda i: (i, 0, 0)),
-        interpret=interp,
-        **_vmem_params(interp),
-    )(
+    vec_spec = pl.BlockSpec((BT, 1, n), lambda i: (i, 0, 0))
+    in_specs = [
+        vec_spec,
+        vec_spec,
+        pl.BlockSpec((BT, Q, D, D), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((BT, 2, Q), lambda i: (i, 0, 0)),
+    ]
+    args = [
         t.astype(jnp.float32)[:, None, :],
         meta.astype(jnp.int32)[:, None, :],
         B.astype(jnp.float32),
         muv,
-    )
+    ]
+    if masked:
+        in_specs.append(vec_spec)
+        args.append(mask.astype(jnp.float32)[:, None, :])
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, n, n), jnp.float32),
+        grid=(Bp // BT,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BT, n, n), lambda i: (i, 0, 0)),
+        interpret=interp,
+        **_vmem_params(interp),
+    )(*args)
     return out[:Bb]
 
 
-def _gram_bwd_kernel(Q, D, dK_ref, t_ref, m_ref, B_ref, muv_ref,
-                     dB_ref, dmuv_ref):
+def _gram_bwd_kernel(Q, D, masked, dK_ref, t_ref, m_ref, B_ref, muv_ref,
+                     *rest):
     """Batched fused VJP: dB_q = O^T (dK * k_q) O;
     dmu_q = sum dK * coef_q * (-2 pi d sin(2 pi mu d) E_q);
-    dv_q  = sum dK * coef_q * (-4 pi^2 v_q rsq k_q)."""
+    dv_q  = sum dK * coef_q * (-4 pi^2 v_q rsq k_q).
+    With `masked` the cotangent is first scaled by the mask outer product
+    (the fused epilogue's only hyper-dependent factor; the diag fill is
+    hyper-free)."""
+    if masked:
+        k_ref, dB_ref, dmuv_ref = rest
+    else:
+        dB_ref, dmuv_ref = rest
     BT = t_ref.shape[0]
     n = t_ref.shape[2]
     t_row = t_ref[:, 0:1, :]
@@ -228,6 +264,10 @@ def _gram_bwd_kernel(Q, D, dK_ref, t_ref, m_ref, B_ref, muv_ref,
     rsq = diff * diff
     oh, ohT = _onehots(m_ref, n, D, BT)
     w = dK_ref[:, :, :]
+    if masked:
+        mk_row = k_ref[:, 0:1, :]
+        mk_col = jnp.transpose(mk_row, (0, 2, 1))
+        w = w * (mk_col * mk_row)
 
     def _red(x):  # (BT, n, n) -> (BT, 1, 1), one axis at a time
         return jnp.sum(
@@ -259,11 +299,12 @@ def _gram_bwd_kernel(Q, D, dK_ref, t_ref, m_ref, B_ref, muv_ref,
         )
 
 
-def _gram_bwd_batched(dK, t, meta, B, mu, v):
+def _gram_bwd_batched(dK, t, meta, B, mu, v, mask=None):
     Bb, n = t.shape
     Q, D = B.shape[1], B.shape[2]
     BT = _gbt(n, Q)
     Bp = -(-Bb // BT) * BT
+    masked = mask is not None
     muv = jnp.stack([mu, v], axis=1).astype(jnp.float32)
     if Bp != Bb:
         pad = Bp - Bb
@@ -272,8 +313,28 @@ def _gram_bwd_batched(dK, t, meta, B, mu, v):
         meta = jnp.concatenate([meta, jnp.zeros((pad, n), meta.dtype)])
         B = jnp.concatenate([B, jnp.zeros((pad, Q, D, D), B.dtype)])
         muv = jnp.concatenate([muv, jnp.ones((pad, 2, Q), muv.dtype)])
-    kernel = functools.partial(_gram_bwd_kernel, Q, D)
+        if masked:
+            mask = jnp.concatenate([mask, jnp.zeros((pad, n), mask.dtype)])
+    kernel = functools.partial(_gram_bwd_kernel, Q, D, masked)
     interp = _use_interpret()
+    vec_spec = pl.BlockSpec((BT, 1, n), lambda i: (i, 0, 0))
+    in_specs = [
+        pl.BlockSpec((BT, n, n), lambda i: (i, 0, 0)),
+        vec_spec,
+        vec_spec,
+        pl.BlockSpec((BT, Q, D, D), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((BT, 2, Q), lambda i: (i, 0, 0)),
+    ]
+    args = [
+        dK.astype(jnp.float32),
+        t.astype(jnp.float32)[:, None, :],
+        meta.astype(jnp.int32)[:, None, :],
+        B.astype(jnp.float32),
+        muv,
+    ]
+    if masked:
+        in_specs.append(vec_spec)
+        args.append(mask.astype(jnp.float32)[:, None, :])
     dB, dmuv = pl.pallas_call(
         kernel,
         out_shape=(
@@ -281,26 +342,14 @@ def _gram_bwd_batched(dK, t, meta, B, mu, v):
             jax.ShapeDtypeStruct((Bp, 2, Q), jnp.float32),
         ),
         grid=(Bp // BT,),
-        in_specs=[
-            pl.BlockSpec((BT, n, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BT, 1, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BT, 1, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BT, Q, D, D), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((BT, 2, Q), lambda i: (i, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((BT, Q, D, D), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((BT, 2, Q), lambda i: (i, 0, 0)),
         ),
         interpret=interp,
         **_vmem_params(interp),
-    )(
-        dK.astype(jnp.float32),
-        t.astype(jnp.float32)[:, None, :],
-        meta.astype(jnp.int32)[:, None, :],
-        B.astype(jnp.float32),
-        muv,
-    )
+    )(*args)
     return dB[:Bb], dmuv[:Bb, 0], dmuv[:Bb, 1]
 
 
@@ -330,6 +379,16 @@ def _collapsing(batched_impl):
 
 _gram_fwd_vm = _collapsing(_gram_fwd_batched)
 _gram_bwd_vm = _collapsing(_gram_bwd_batched)
+_gram_fwdm_vm = _collapsing(
+    lambda t, meta, B, mu, v, mask: _gram_fwd_batched(
+        t, meta, B, mu, v, mask
+    )
+)
+_gram_bwdm_vm = _collapsing(
+    lambda dK, t, meta, B, mu, v, mask: _gram_bwd_batched(
+        dK, t, meta, B, mu, v, mask
+    )
+)
 
 
 @jax.custom_vjp
@@ -363,6 +422,39 @@ def _gram_pallas_bwd(res, dK):
 _gram_pallas.defvjp(_gram_pallas_fwd, _gram_pallas_bwd)
 
 
+@jax.custom_vjp
+def _gram_pallas_masked(t, meta, B, mu, v, mask):
+    t = t - jnp.min(t)
+    return _gram_fwdm_vm(
+        t[None], meta[None], B[None], mu[None], v[None], mask[None]
+    )[0]
+
+
+def _gram_pallas_masked_fwd(t, meta, B, mu, v, mask):
+    return (
+        _gram_pallas_masked(t, meta, B, mu, v, mask),
+        (t, meta, B, mu, v, mask),
+    )
+
+
+def _gram_pallas_masked_bwd(res, dK):
+    t, meta, B, mu, v, mask = res
+    ts = t - jnp.min(t)
+    dBs, dmus, dvs = _gram_bwdm_vm(
+        dK[None], ts[None], meta[None], B[None], mu[None], v[None],
+        mask[None],
+    )
+    import numpy as _np
+
+    dt = jnp.zeros_like(t)
+    dmeta = _np.zeros(meta.shape, dtype=jax.dtypes.float0)
+    dmask = jnp.zeros_like(mask)
+    return dt, dmeta, dBs[0], dmus[0], dvs[0], dmask
+
+
+_gram_pallas_masked.defvjp(_gram_pallas_masked_fwd, _gram_pallas_masked_bwd)
+
+
 def gram_lmcsm_fused(
     spec: LMCSMSpec,
     t: jnp.ndarray,
@@ -371,13 +463,23 @@ def gram_lmcsm_fused(
     mu: jnp.ndarray,
     v: jnp.ndarray,
     kappa: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for gram_lmcsm using the fused Pallas kernels
-    when the shape allows, the XLA builder otherwise."""
+    when the shape allows, the XLA builder otherwise. With `mask` the
+    mask_gram epilogue (zero padded rows/cols, unit diagonal) is fused
+    into the same kernel pass — no separate O(n^2) masking op."""
     n = t.shape[-1]
     B = spec.coregional_B(A, kappa)
     if pallas_supported(n):
+        if mask is not None:
+            return _gram_pallas_masked(t, meta, B, mu, v, mask)
         return _gram_pallas(t, meta, B, mu, v)
     from medgp_tpu.ops.gram import gram_lmcsm
 
-    return gram_lmcsm(spec, t, meta, A, mu, v, kappa)
+    K = gram_lmcsm(spec, t, meta, A, mu, v, kappa)
+    if mask is not None:
+        from medgp_tpu.ops.nlml import mask_gram
+
+        K = mask_gram(K, mask.astype(K.dtype))
+    return K

@@ -85,10 +85,10 @@ def test_gmm_vmapped_inits_match_solo_runs(rng):
     # would keep refining and drift visibly from the solo run. The only
     # tolerated difference is batched-vs-solo fp reduction order (~1e-8).
     p_v, ll_v = jax.vmap(
-        lambda k: _fit_single(k, X, 2, 200, 0.05, 1e-6)
+        lambda k: _fit_single(k, X, jnp.ones(X.shape[0], X.dtype), 2, 200, 0.05, 1e-6)
     )(keys)
     for i in range(6):
-        p_s, ll_s = _fit_single(keys[i], X, 2, 200, 0.05, 1e-6)
+        p_s, ll_s = _fit_single(keys[i], X, jnp.ones(X.shape[0], X.dtype), 2, 200, 0.05, 1e-6)
         np.testing.assert_allclose(
             np.asarray(ll_v[i]), np.asarray(ll_s), rtol=1e-6
         )

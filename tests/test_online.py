@@ -158,3 +158,32 @@ def test_online_update_respects_clamps(rng):
         update=True, prior=prior, learn_rate=1e-3, momentum=0.9,
     )
     assert float(res.theta_final[spec.n_lik]) == 0.0
+
+
+def test_loo_pallas_path_matches_xla(rng, monkeypatch):
+    """Round-5: the online LOO fast path routes through the fused Pallas
+    factorization chain (chol_solve + tri_inv) when enabled. Forced on in
+    interpret mode here (n=128, the smallest supported shape), it must
+    produce the same predictions as the XLA branch."""
+    spec = LMCSMSpec(2, 2, 1)
+    data = synth_lmcsm_patient(rng, spec, n=96, n_pad=32)
+    theta = jnp.asarray(random_theta(rng, spec), jnp.float32)
+    u_t, u_ok = unique_times(data.t, data.mask, pad_to=128)
+
+    monkeypatch.setenv("MEDGP_PALLAS_CHOL", "0")
+    res_xla = online_impute(
+        spec, theta, data, jnp.asarray(u_t), jnp.asarray(u_ok), update=False
+    )
+    monkeypatch.setenv("MEDGP_PALLAS_CHOL", "1")
+    res_pal = online_impute(
+        spec, theta, data, jnp.asarray(u_t), jnp.asarray(u_ok), update=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_pal.pred), np.asarray(res_xla.pred),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_pal.var), np.asarray(res_xla.var),
+        rtol=2e-3, atol=2e-4,
+    )
+    assert np.array_equal(np.asarray(res_pal.valid), np.asarray(res_xla.valid))

@@ -95,3 +95,77 @@ def test_fused_vmaps(rng):
     assert Ks.shape == (2, 128, 128)
     K0 = gram_lmcsm_fused(spec, t, meta, A, mu, v, kappa)
     np.testing.assert_allclose(np.asarray(Ks[0]), np.asarray(K0), atol=1e-5)
+
+
+def test_fused_masked_epilogue_matches_mask_gram(rng):
+    """Round-5 glue-gap closure: mask folded into the gram kernel epilogue
+    equals the separate mask_gram pass, forward and backward."""
+    from medgp_tpu.ops.nlml import mask_gram
+
+    spec, args = _case(rng, Q=3, D=4, R=2, n=128)
+    mask = np.ones(128, np.float32)
+    mask[100:] = 0.0
+    mask = jnp.asarray(mask)
+
+    K_fused = gram_lmcsm_fused(spec, *args, mask=mask)
+    K_ref = mask_gram(gram_lmcsm(spec, *args), mask)
+    np.testing.assert_allclose(
+        np.asarray(K_fused), np.asarray(K_ref), rtol=1e-4, atol=1e-5
+    )
+
+    # backward: weighted-sum cotangent through both paths
+    t, meta, A, mu, v, kappa = args
+    w = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32))
+
+    def f_fused(A, mu, v, kappa):
+        return jnp.sum(
+            w * gram_lmcsm_fused(spec, t, meta, A, mu, v, kappa, mask=mask)
+        )
+
+    def f_ref(A, mu, v, kappa):
+        return jnp.sum(
+            w * mask_gram(gram_lmcsm(spec, t, meta, A, mu, v, kappa), mask)
+        )
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3))(A, mu, v, kappa)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(A, mu, v, kappa)
+    for gf, gr, name in zip(g_fused, g_ref, ("A", "mu", "v", "kappa")):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_masked_objective_path_matches_unmasked_mask_gram(rng):
+    """nlml_fn's pre-masked fast path (noiseless_gram(masked=True) +
+    masked_nlml(pre_masked=True)) equals the legacy composition."""
+    from medgp_tpu.models.gp import PatientData, noiseless_gram
+    from medgp_tpu.ops.nlml import mask_gram, masked_nlml
+    from tests.test_nlml import random_theta
+
+    spec = LMCSMSpec(2, 2, 1)
+    n = 128
+    t = np.sort(rng.uniform(0, 72, size=n)).astype(np.float32)
+    meta = rng.integers(0, 2, size=n).astype(np.int32)
+    y = rng.normal(size=n).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    mask[96:] = 0.0
+    data = PatientData(
+        t=jnp.asarray(t), y=jnp.asarray(y), meta=jnp.asarray(meta),
+        mask=jnp.asarray(mask),
+    )
+    theta = jnp.asarray(random_theta(rng, spec), jnp.float32)
+
+    Km = noiseless_gram(spec, theta, data, masked=True)
+    K = noiseless_gram(spec, theta, data)
+    nv = jnp.ones(n, jnp.float32) * 0.09
+    r_pre = masked_nlml(Km, data.y, nv, data.mask, pre_masked=True)
+    r_leg = masked_nlml(K, data.y, nv, data.mask)
+    assert bool(r_pre.ok) and bool(r_leg.ok)
+    np.testing.assert_allclose(
+        float(r_pre.nlml), float(r_leg.nlml), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(Km), np.asarray(mask_gram(K, data.mask)),
+        rtol=1e-4, atol=1e-5,
+    )
