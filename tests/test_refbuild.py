@@ -313,3 +313,63 @@ def test_end_to_end_reference_binaries_vs_medgp_tpu(
             f"{mode}: ref MAE {ref_all.mean():.4f} vs mine "
             f"{my_all.mean():.4f} exceeds MC error {mc:.4f} ({n_all} obs)"
         )
+
+
+@pytest.fixture(scope="session")
+def ref_experiment_1d(tmp_path_factory):
+    """Single-output cohort staged for the SE / SM kernel families."""
+    import numpy as np
+
+    from medgp_tpu.config.experiment import generate_experiment
+    from medgp_tpu.data.cohort import PatientRecord
+    from medgp_tpu.data.synthetic import write_reference_format_cohort
+
+    root = tmp_path_factory.mktemp("refparity1d")
+    rng = np.random.default_rng(11)
+    recs = []
+    for i in range(2):
+        n = int(rng.integers(25, 40))
+        t = np.sort(rng.uniform(0, 72, size=n)).astype(np.float32)
+        y = np.sin(0.3 * t) + 0.2 * rng.normal(size=n)
+        recs.append(
+            PatientRecord(
+                pan=f"one{i:04d}", t=t, y=y.astype(np.float32),
+                meta=np.zeros(n, np.int32),
+            )
+        )
+    write_reference_format_cohort(str(root / "data" / "synth"), recs, [18])
+    cfgs = {}
+    for kernel in ("SE", "SM"):
+        cfgs[kernel] = generate_experiment(
+            str(root / "data"), str(root / "exp"), "synth", [18],
+            kernel=kernel, prior="None", Q=2, R=1, cv_fold_num=2,
+            exp_prefix=f"ref{kernel.lower()}",
+            opt_config=dict(
+                random_init_num=4, top_iteration_num=2,
+                iteration_num_per_update=4,
+            ),
+        )
+    return cfgs
+
+
+@pytest.mark.parametrize("kernel", ["SE", "SM"])
+def test_se_sm_nlml_matches_executed_reference(
+    ref_binaries, ref_experiment_1d, tmp_path, rng, kernel
+):
+    """Executable parity for the SE and SM kernel families (kernel_index
+    0 / 8, c_kernel_SE.cpp / c_kernel_SM.cpp + c_inference_exact)."""
+    cfg = ref_experiment_1d[kernel]
+    spec = cfg.spec()
+    pan = cfg.pans()[0]
+    for _ in range(3):
+        th = rng.normal(size=spec.n_hyp) * 0.3
+        th[0] = np.log(0.3)
+        th = np.float64(np.float32(th))
+        ref_v, ref_g = _probe(
+            ref_binaries, cfg_file(cfg), pan, th, "exact", str(tmp_path)
+        )
+        my_v, my_g, ok = _my_objective(cfg, pan, th, with_prior=False)
+        assert ok
+        assert my_v == pytest.approx(ref_v, rel=1e-4)
+        assert my_g.shape == ref_g.shape == (spec.n_hyp,)
+        _grad_close(my_g, ref_g)

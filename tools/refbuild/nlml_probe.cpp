@@ -46,8 +46,9 @@ int main(int argc, const char *argv[]) {
   }
 
   c_experiment exp(cfg);
-  if (exp.get_kernel_index() != 7) {
-    fprintf(stderr, "probe supports kernel_index 7 (LMC-SM) only\n");
+  const int kidx = exp.get_kernel_index();
+  if (kidx != 7 && kidx != 0 && kidx != 8) {
+    fprintf(stderr, "probe supports kernel_index 0 (SE), 8 (SM), 7\n");
     return 2;
   }
 
@@ -64,16 +65,30 @@ int main(int argc, const char *argv[]) {
   }
   fprintf(stderr, "n_hyp=%zu\n", theta.size());
 
-  c_kernel_LMC_SM kernel(exp.get_kernel_param());
+  /* model wiring per family, exactly as main_one_train.cpp:103-150 */
+  c_kernel_LMC_SM kernel_lmc(exp.get_kernel_param());
+  c_kernel_SE kernel_se(exp.get_kernel_param());
+  c_kernel_SM kernel_sm(exp.get_kernel_param());
   c_meanfunc_zero meanfunc;
-  c_likelihood_gaussianMO likfunc(exp.get_lik_param());
+  c_likelihood_gaussianMO likfunc_mo(exp.get_lik_param());
+  c_likelihood_gaussian likfunc_g;
   c_prior prior(exp.get_cov_num(), exp.get_mean_num(), exp.get_lik_num());
   c_inference_exact inf_exact(1);
   c_inference_prior inf_prior(1);
 
-  c_kernel *kptr = &kernel;
+  c_kernel *kptr;
+  c_likelihood *lptr;
+  if (kidx == 7) {
+    kptr = &kernel_lmc;
+    lptr = &likfunc_mo;
+  } else if (kidx == 8) {
+    kptr = &kernel_sm;
+    lptr = &likfunc_g;
+  } else {
+    kptr = &kernel_se;
+    lptr = &likfunc_g;
+  }
   c_meanfunc *mptr = &meanfunc;
-  c_likelihood *lptr = &likfunc;
   c_prior *pptr = &prior;
   c_inference *iptr;
   if (inference == "prior") {
