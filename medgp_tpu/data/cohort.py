@@ -82,6 +82,7 @@ def pack_patients(
     growth: float = 2.0,
     max_batch: int | None = None,
     batch_multiple: int = 1,
+    footprint_mult: int = 1,
 ) -> List[PaddedBatch]:
     """Group patients into padded batches by bucketed length.
 
@@ -130,9 +131,15 @@ def pack_patients(
         # reproducible device faults at execute; B=64 at n=512 (and
         # B=128 at n<=256) are measured-stable (round 4). Larger-HBM
         # devices (v5p: 95 GiB) get proportionally larger caps.
+        # `footprint_mult` scales the per-patient gram count for programs
+        # that materialize MORE than one (n, n) buffer per patient — the
+        # posterior samplers build one per chain per leapfrog step (round
+        # 5: the 2-chain 512-draw HMC program at B=32 x n=512 device-
+        # faulted exactly like the round-4 train program; B*mult*n^2
+        # inside the envelope is the validated-stable regime).
         from medgp_tpu.utils.hbm import bucket_cap
 
-        cap = bucket_cap(n_max)
+        cap = max(1, bucket_cap(n_max) // max(footprint_mult, 1))
         if batch_multiple > 1:
             cap = max(batch_multiple, cap - cap % batch_multiple)
         eff = cap if max_batch is None else min(max_batch, cap)

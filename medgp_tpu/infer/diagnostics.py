@@ -165,3 +165,119 @@ def summarize_diagnostics(chains: np.ndarray, spec=None) -> dict:
                 out[f"ess_min_{name}"] = float(np.min(ess[sl]))
                 out[f"rhat_max_{name}"] = float(np.max(rhat[sl]))
     return out
+
+
+def invariant_posterior_mean(spec, chains: np.ndarray) -> np.ndarray:
+    """Posterior-mean hypers computed in the LMC-SM kernel's IDENTIFIED
+    parametrization; (C, S, H) draws -> (H,).
+
+    The naive coordinate-wise mean of theta draws is degenerate for this
+    model: B_q = A_q A_q^T + diag(kappa_q) is invariant to per-column
+    sign flips / rotations of A_q, and the Q components are exchangeable
+    across chains — two well-mixed chains sitting in symmetric modes
+    average A toward ZERO (observed round 5: min-bulk-ESS pinned at ~2.3
+    for the symmetric coordinates at every budget, and the MAP-vs-
+    posterior-mean MAE gate failing by 27 SE). This computes the mean of
+    the INVARIANTS instead:
+
+      1. per chain, align the Q components to chain 0 by greedy nearest
+         (log mu, log v) centroid matching (label switching across
+         chains);
+      2. per draw, form B_q (sign/rotation invariant) and average B, log
+         mu, log v, log noise (and any trailing mean-function params);
+      3. re-factor mean-B per component: A = U sqrt(S)[:, :R] from its
+         eigendecomposition, kappa = clamp(diag(B - A A^T), 1e-15) — the
+         same split the reference's mode pipeline uses
+         (mode_estimate.py:411-420).
+
+    Non-LMC-SM specs fall back to the plain mean (their hypers are
+    identified)."""
+    from medgp_tpu.models.params import LMCSMSpec
+
+    chains = np.asarray(chains, np.float64)
+    if chains.ndim == 2:
+        chains = chains[None]
+    C, S, H = chains.shape
+    if not isinstance(spec, LMCSMSpec) or C * S < 2:
+        return chains.reshape(-1, H).mean(0)
+
+    Q, D, R = spec.Q, spec.D, spec.R
+    nl = spec.n_lik
+    nA = Q * D * R
+    sl_A = slice(nl, nl + nA)
+    sl_mu = slice(nl + nA, nl + nA + Q)
+    sl_v = slice(nl + nA + Q, nl + nA + 2 * Q)
+    sl_k = slice(nl + nA + 2 * Q, nl + nA + 2 * Q + Q * D)
+    tail = slice(nl + nA + 2 * Q + Q * D, H)
+
+    # 1. component alignment across chains on (log mu, log v) centroids
+    cent = np.stack(
+        [chains[:, :, sl_mu].mean(1), chains[:, :, sl_v].mean(1)], -1
+    )  # (C, Q, 2)
+    aligned = chains.copy()
+    for c in range(1, C):
+        cost = np.linalg.norm(
+            cent[0][:, None, :] - cent[c][None, :, :], axis=-1
+        )  # (Q_ref, Q_c)
+        perm = np.full(Q, -1)
+        used = np.zeros(Q, bool)
+        for qr in np.argsort(cost.min(axis=1)):
+            qc = np.argmin(np.where(used, np.inf, cost[qr]))
+            perm[qr] = qc
+            used[qc] = True
+        A = chains[c, :, sl_A.start:sl_A.stop].reshape(S, Q, D, R)
+        K = chains[c, :, sl_k.start:sl_k.stop].reshape(S, Q, D)
+        aligned[c, :, sl_A.start:sl_A.stop] = A[:, perm].reshape(S, -1)
+        aligned[c, :, sl_mu.start:sl_mu.stop] = chains[c][:, sl_mu][:, perm]
+        aligned[c, :, sl_v.start:sl_v.stop] = chains[c][:, sl_v][:, perm]
+        aligned[c, :, sl_k.start:sl_k.stop] = K[:, perm].reshape(S, -1)
+
+    draws = aligned.reshape(C * S, H)
+    # 2. invariant means
+    A_d = draws[:, sl_A].reshape(-1, Q, D, R)
+    kap_d = np.exp(draws[:, sl_k]).reshape(-1, Q, D)
+    B_d = np.einsum("nqdr,nqer->nqde", A_d, A_d)
+    B_d[:, :, np.arange(D), np.arange(D)] += kap_d
+    B_bar = B_d.mean(0)  # (Q, D, D)
+
+    out = np.empty(H)
+    out[:nl] = draws[:, :nl].mean(0)
+    out[sl_mu] = draws[:, sl_mu].mean(0)
+    out[sl_v] = draws[:, sl_v].mean(0)
+    if tail.start < H:
+        out[tail] = draws[:, tail].mean(0)
+
+    # 3. refactor mean-B per component into A A^T + diag(kappa) by
+    # alternating projections (a one-line factor-analysis loop: the plain
+    # rank-R eigen split drops the off-diagonal remainder when R < D;
+    # alternation is exact at any fixed point where B IS rank-R + diag)
+    klog_mean = draws[:, sl_k].mean(0).reshape(Q, D)
+    for q in range(Q):
+        Bq = B_bar[q]
+        # kappa is itself invariant (positive diagonal): its log-space
+        # posterior mean is the natural seed; the loop then only has to
+        # absorb the rank-R truncation remainder
+        lam = np.maximum(
+            np.minimum(np.exp(klog_mean[q]), np.diag(Bq)), 1e-15
+        )
+        A_q = np.zeros((D, min(R, D)))
+        for _ in range(200):
+            w, U = np.linalg.eigh(Bq - np.diag(lam))
+            order = np.argsort(w)[::-1][: min(R, D)]
+            w_r = np.maximum(w[order], 0.0)
+            A_new = U[:, order] * np.sqrt(w_r)
+            lam_new = np.maximum(np.diag(Bq - A_new @ A_new.T), 1e-15)
+            shift = np.abs(lam_new - lam).max()
+            A_q, lam = A_new, lam_new
+            if shift < 1e-12:
+                break
+        if A_q.shape[1] < R:
+            A_q = np.concatenate(
+                [A_q, np.zeros((D, R - A_q.shape[1]))], axis=1
+            )
+        # deterministic column signs (largest-magnitude entry positive)
+        s = np.sign(A_q[np.argmax(np.abs(A_q), axis=0), np.arange(R)])
+        A_q = A_q * np.where(s == 0, 1.0, s)
+        out[nl + q * D * R : nl + (q + 1) * D * R] = A_q.reshape(-1)
+        out[sl_k.start + q * D : sl_k.start + (q + 1) * D] = np.log(lam)
+    return out

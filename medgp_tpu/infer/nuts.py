@@ -139,9 +139,18 @@ def _nuts_transition(
     gmask: jnp.ndarray,
     max_depth: int,
     divergence_threshold: float,
+    depth_cap: Optional[jnp.ndarray] = None,
 ):
     """One NUTS draw. Returns (theta', u', g', accept_stat, divergent,
-    depth, n_leapfrog)."""
+    depth, n_leapfrog).
+
+    `depth_cap` is an optional DYNAMIC doubling bound <= the static
+    `max_depth` (which fixes every array shape). Under vmap the while
+    loops run in lockstep across the whole batch — one member building a
+    2^max_depth-leaf trajectory makes everyone pay for it — so capping
+    at the depth the warmup actually used converts tail trajectories
+    from a batch-wide tax into a truncation of rare outliers (truncated
+    NUTS remains a valid transition)."""
     dtype = theta0.dtype
     H = theta0.shape[-1]
     neg_inf = jnp.asarray(-jnp.inf, dtype)
@@ -239,8 +248,14 @@ def _nuts_transition(
         n_leaf: jnp.ndarray
         key: jax.Array
 
+    cap = (
+        jnp.asarray(max_depth, jnp.int32)
+        if depth_cap is None
+        else jnp.minimum(depth_cap.astype(jnp.int32), max_depth)
+    )
+
     def tree_cond(tr: _Tree):
-        return (tr.depth < max_depth) & ~tr.turning & ~tr.diverging
+        return (tr.depth < cap) & ~tr.turning & ~tr.diverging
 
     def tree_body(tr: _Tree):
         key, k_dir, k_sub, k_acc = jax.random.split(tr.key, 4)
@@ -331,12 +346,22 @@ def nuts_sample(
     target_accept: float = 0.8,
     divergence_threshold: float = 1000.0,
     grad_mask: Optional[jnp.ndarray] = None,
+    adapt_depth: bool = True,
+    depth_quantile: float = 0.9,
 ) -> NUTSResult:
     """Sample exp(-U) with NUTS given `potential_grad(theta) -> (U, dU)`.
 
     All shapes static; vmaps over chains/patients. `max_depth` bounds a draw
     at 2^max_depth - 1 gradient evaluations (the while loops exit early on
     U-turn/divergence, so typical draws are much cheaper).
+
+    `adapt_depth` (round-5): the warmup records the tree-depth histogram
+    and the sampling phase doubles only to the warmup's `depth_quantile`
+    depth + 1 (clipped to max_depth). Gradient evals per draw are the
+    NUTS cost driver, and under vmap every batch member pays the
+    batch-max trajectory each draw; bounding at the observed typical
+    depth removes the tail's lockstep tax with negligible bias
+    (max-depth-truncated NUTS is a standard, valid transition).
     """
     dtype = theta0.dtype
     H = theta0.shape[-1]
@@ -347,26 +372,39 @@ def nuts_sample(
     u0, g0 = potential_grad(theta0)
     g0 = g0 * gmask
 
-    def kernel(state, key, eps, inv_mass):
+    def kernel(state, key, eps, inv_mass, depth_cap=None):
         theta, u, g = state
         th, u1, g1, acc, div, depth, n_lf = _nuts_transition(
             potential_grad, theta, u, g, key, eps, inv_mass, gmask,
-            max_depth, divergence_threshold,
+            max_depth, divergence_threshold, depth_cap=depth_cap,
         )
         return (th, u1, g1), acc, div, depth, n_lf
 
-    def warm_kernel(state, key, eps, inv_mass):
-        state, acc, _, _, _ = kernel(state, key, eps, inv_mass)
-        return state, acc
+    def warm_kernel(wstate, key, eps, inv_mass):
+        state, hist = wstate
+        state, acc, _, depth, _ = kernel(state, key, eps, inv_mass)
+        hist = hist.at[jnp.clip(depth, 0, max_depth)].add(1)
+        return (state, hist), acc
 
     keys = jax.random.split(key, num_samples + 1)
-    warm_state, eps, inv_mass = two_phase_warmup(
-        warm_kernel, (theta0, u0, g0), lambda s: s[0], keys[-1],
+    hist0 = jnp.zeros(max_depth + 1, jnp.int32)
+    (warm_state, hist), eps, inv_mass = two_phase_warmup(
+        warm_kernel, ((theta0, u0, g0), hist0), lambda s: s[0][0], keys[-1],
         num_warmup, init_step_size, target_accept, gmask, dtype,
     )
 
+    if adapt_depth and num_warmup > 0:
+        cum = jnp.cumsum(hist).astype(jnp.float32)
+        total = jnp.maximum(cum[-1], 1.0)
+        q_depth = jnp.argmax(cum >= depth_quantile * total)
+        depth_cap = jnp.clip(q_depth + 1, 1, max_depth).astype(jnp.int32)
+    else:
+        depth_cap = jnp.asarray(max_depth, jnp.int32)
+
     def sample_step(carry, key):
-        state, acc, div, depth, n_lf = kernel(carry, key, eps, inv_mass)
+        state, acc, div, depth, n_lf = kernel(
+            carry, key, eps, inv_mass, depth_cap=depth_cap
+        )
         return state, (state[0], state[1], acc, div, depth, n_lf)
 
     _, (samples, pots, aps, divs, depths, n_lfs) = lax.scan(

@@ -90,7 +90,8 @@ def _mesh_multiple(B: int, mesh) -> int:
 
 
 def _pad_batch_pow2(
-    B: int, mesh=None, minimum: int = 8, n_max: Optional[int] = None
+    B: int, mesh=None, minimum: int = 8, n_max: Optional[int] = None,
+    cap_div: int = 1,
 ) -> int:
     """Canonical padded batch: next power of two (>= minimum), then a mesh
     multiple. Bounds the number of DISTINCT compiled program shapes to
@@ -110,7 +111,7 @@ def _pad_batch_pow2(
     if n_max is not None:
         from medgp_tpu.utils.hbm import bucket_cap
 
-        cap = bucket_cap(n_max) * n_dev
+        cap = max(1, bucket_cap(n_max) // max(cap_div, 1)) * n_dev
         minimum = min(minimum, cap)
     Bp = max(1, minimum)
     while Bp < B:
@@ -501,9 +502,14 @@ def hmc_cohort(
         r for r in records
         if r.pan in by_pan and 0 < r.n_obs <= thr
     ]
+    # sampler programs materialize ~2 (n, n) gram buffers per CHAIN per
+    # patient (leapfrog old/new); scale the HBM-envelope cap accordingly
+    # — the 2-chain 512-draw HMC program at the train cap (B=32, n=512)
+    # reproducibly device-faults on a 16 GiB v5e (round 5)
+    chains = 1 if sampler == "vi" else num_chains
     batches = pack_patients(
         trained, max_batch=_round_up_to(max_batch, ndev),
-        batch_multiple=ndev,
+        batch_multiple=ndev, footprint_mult=2 * chains,
     )
 
     compiled: Dict[tuple, object] = {}
@@ -515,7 +521,9 @@ def hmc_cohort(
         out[pan] = {"flag": False, "reason": "large_patient"}
     for b in batches:
         B = len(b)
-        Bp = _pad_batch_pow2(B, mesh, n_max=b.n_max)
+        Bp = _pad_batch_pow2(
+            B, mesh, n_max=b.n_max, cap_div=2 * chains
+        )
         theta0s = _pad_rows(
             np.stack([by_pan[p] for p in b.pans]).astype(np.float32), Bp
         )
@@ -583,9 +591,18 @@ def hmc_cohort(
                 # acceptance gate
                 d.update(summarize_diagnostics(samples_all[i], spec))
                 diags_all.append(d)
-            means_all = samples_all.reshape(
-                Bp, -1, samples_all.shape[-1]
-            ).mean(1)
+            # posterior mean in the IDENTIFIED parametrization: the raw
+            # coordinate mean is degenerate under A's sign/rotation
+            # symmetry and cross-chain component label switching
+            # (diagnostics.invariant_posterior_mean)
+            from medgp_tpu.infer.diagnostics import invariant_posterior_mean
+
+            means_all = np.stack(
+                [
+                    invariant_posterior_mean(spec, samples_all[i])
+                    for i in range(Bp)
+                ]
+            ).astype(samples_all.dtype)
             for i in range(min(B, len(b.pans))):
                 metrics.write(
                     f"{sampler}_diag", pan=b.pans[i],

@@ -104,3 +104,29 @@ def test_pack_patients_cap_uses_device_budget(v5p):
     batches = pack_patients(recs, max_batch=512)
     # v5e cap at n_max=512 is 64; v5p should allow ~6x bigger buckets
     assert max(len(b) for b in batches) > 64
+
+
+def test_sampler_footprint_mult_caps_bucket(v5e):
+    """Round-5: sampler programs build ~2 gram buffers per chain per
+    patient; pack_patients' envelope cap must scale down accordingly
+    (the 2-chain 512-draw HMC program at the train cap B=32, n=512
+    device-faulted on a 16 GiB v5e)."""
+    from medgp_tpu.data.cohort import PatientRecord, pack_patients
+    from medgp_tpu.parallel.runner import _pad_batch_pow2
+
+    recs = [
+        PatientRecord(
+            pan=f"p{i}",
+            t=np.linspace(0, 1, 500).astype(np.float32),
+            y=np.zeros(500, np.float32),
+            meta=np.zeros(500, np.int32),
+        )
+        for i in range(128)
+    ]
+    plain = pack_patients(recs, max_batch=128)
+    sampler = pack_patients(recs, max_batch=128, footprint_mult=4)
+    assert max(len(b) for b in plain) == 64     # train cap at n=512
+    assert max(len(b) for b in sampler) == 16   # / (2 chains * 2 buffers)
+    assert _pad_batch_pow2(16, n_max=512, cap_div=4) == 16
+    assert _pad_batch_pow2(3, n_max=512, cap_div=4) == 8   # pow2 min, <= cap
+    assert _pad_batch_pow2(3, n_max=1024, cap_div=4) == 4  # cap binds

@@ -137,3 +137,65 @@ def test_posterior_predictive_beats_prior_guess(rng):
         jnp.sum(0.5 * y2**2 + 0.5 * jnp.log(2 * jnp.pi))
     )
     assert nll < naive
+
+
+def test_invariant_posterior_mean_defeats_symmetry(rng):
+    """Round-5: the posterior mean must be computed on the kernel's
+    invariants. Draws that differ only by A-column sign flips and a
+    cross-chain component permutation must average back to the true B /
+    mu / v — where the naive coordinate mean collapses A toward zero."""
+    import numpy as np
+
+    from medgp_tpu.infer.diagnostics import invariant_posterior_mean
+    from medgp_tpu.models.params import LMCSMSpec
+
+    spec = LMCSMSpec(3, 4, 2)
+    Q, D, R = spec.Q, spec.D, spec.R
+    nl = spec.n_lik
+    th = rng.normal(size=spec.n_hyp) * 0.5
+    th[:nl] = np.log(0.3)
+
+    def blocks(t):
+        A = t[nl : nl + Q * D * R].reshape(Q, D, R)
+        mu = t[nl + Q * D * R : nl + Q * D * R + Q]
+        v = t[nl + Q * D * R + Q : nl + Q * D * R + 2 * Q]
+        k = t[nl + Q * (D * R + 2) :].reshape(Q, D)
+        return A, mu, v, k
+
+    A0, mu0, v0, k0 = blocks(th)
+    B0 = np.einsum("qdr,qer->qde", A0, A0) + np.stack(
+        [np.diag(np.exp(k0[q])) for q in range(Q)]
+    )
+
+    S = 8
+    perm = np.array([2, 0, 1])  # chain-1 label switch
+    chains = np.zeros((2, S, spec.n_hyp))
+    for s in range(S):
+        signs = rng.choice([-1.0, 1.0], size=(Q, 1, R))
+        t = th.copy()
+        t[nl : nl + Q * D * R] = (A0 * signs).reshape(-1)
+        chains[0, s] = t
+        t2 = th.copy()
+        t2[nl : nl + Q * D * R] = (A0[perm] * signs[perm]).reshape(-1)
+        t2[nl + Q * D * R : nl + Q * D * R + Q] = mu0[perm]
+        t2[nl + Q * D * R + Q : nl + Q * D * R + 2 * Q] = v0[perm]
+        t2[nl + Q * (D * R + 2) :] = k0[perm].reshape(-1)
+        chains[1, s] = t2
+
+    mean = invariant_posterior_mean(spec, chains)
+    Am, mum, vm, km = blocks(mean)
+    Bm = np.einsum("qdr,qer->qde", Am, Am) + np.stack(
+        [np.diag(np.exp(km[q])) for q in range(Q)]
+    )
+    np.testing.assert_allclose(Bm, B0, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(mum, mu0, atol=1e-10)
+    np.testing.assert_allclose(vm, v0, atol=1e-10)
+    np.testing.assert_allclose(mean[:nl], th[:nl], atol=1e-12)
+
+    # the naive mean is visibly degenerate on the same draws
+    naive = chains.reshape(-1, spec.n_hyp).mean(0)
+    An, _, _, kn = blocks(naive)
+    Bn = np.einsum("qdr,qer->qde", An, An) + np.stack(
+        [np.diag(np.exp(kn[q])) for q in range(Q)]
+    )
+    assert np.abs(Bn - B0).max() > 0.05

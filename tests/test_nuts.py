@@ -153,3 +153,46 @@ def test_clamped_hypers_stay_fixed(rng):
         np.asarray(res.samples[:, :, spec.n_lik]), 0.0
     )
     assert float(jnp.std(res.samples[:, :, 0])) > 0
+
+
+def test_adaptive_depth_cap_bounds_sampling_depth():
+    """Round-5: the sampling phase must not double past the warmup's
+    q-quantile depth + 1 (the lockstep-tax bound), and moments must
+    survive the truncation."""
+    import jax
+    import jax.numpy as jnp
+
+    def pg(theta):
+        u = 0.5 * jnp.sum(theta * theta)
+        return u, theta
+
+    key = jax.random.key(3)
+    res = nuts_sample(
+        pg, jnp.zeros(8, jnp.float32), key,
+        num_warmup=300, num_samples=600, max_depth=7, init_step_size=0.5,
+        adapt_depth=True, depth_quantile=0.9,
+    )
+    depths = np.asarray(res.tree_depth)
+    # cap respected: the distribution is bounded well below max_depth for
+    # a standard normal at a well-adapted step size
+    assert depths.max() <= 7
+    assert np.quantile(depths, 0.99) <= np.quantile(depths, 0.9) + 1
+    s = np.asarray(res.samples[200:])
+    assert abs(s.mean()) < 0.12
+    assert abs(s.var() - 1.0) < 0.25
+
+
+def test_adapt_depth_off_reproduces_unbounded():
+    import jax
+    import jax.numpy as jnp
+
+    def pg(theta):
+        u = 0.5 * jnp.sum(theta * theta)
+        return u, theta
+
+    key = jax.random.key(5)
+    r1 = nuts_sample(
+        pg, jnp.zeros(4, jnp.float32), key, num_warmup=50, num_samples=50,
+        max_depth=5, adapt_depth=False,
+    )
+    assert np.asarray(r1.tree_depth).max() <= 5
