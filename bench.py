@@ -437,7 +437,10 @@ def measure_sampler(kind="hmc", num_samples=None, batch=32,
     # wall-clock-true figures.
     num_warmup = int(os.environ.get("MEDGP_BENCH_WARMUP", "32"))
     if kind == "nuts":
-        batch = int(os.environ.get("MEDGP_BENCH_NUTS_BATCH", "8"))
+        # batch raised 8 -> 32 (= HMC's) in round 5: B=8 left the chip
+        # ~2.1x idle (SCALE.md 4c); the warmup depth cap makes the
+        # larger program affordable.
+        batch = int(os.environ.get("MEDGP_BENCH_NUTS_BATCH", "32"))
         num_samples = int(os.environ.get("MEDGP_BENCH_NUTS_SAMPLES", "12"))
 
     spec = LMCSMSpec(Q, D, R)

@@ -348,6 +348,7 @@ def nuts_sample(
     grad_mask: Optional[jnp.ndarray] = None,
     adapt_depth: bool = True,
     depth_quantile: float = 0.9,
+    warmup_max_depth: Optional[int] = 4,
 ) -> NUTSResult:
     """Sample exp(-U) with NUTS given `potential_grad(theta) -> (U, dU)`.
 
@@ -362,6 +363,15 @@ def nuts_sample(
     batch-max trajectory each draw; bounding at the observed typical
     depth removes the tail's lockstep tax with negligible bias
     (max-depth-truncated NUTS is a standard, valid transition).
+
+    `warmup_max_depth` (round-5): depth cap applied DURING warmup (None =
+    uncapped). Warmup dominates short sampler budgets, and its early
+    draws — while dual averaging is still hunting for the step size —
+    build the deepest trees of the whole run (tiny eps => no U-turn for
+    2^max_depth leaves, paid in vmap lockstep by the entire batch). A
+    depth-4 cap (15 leaves ~= one HMC trajectory) keeps the acceptance
+    statistic the adaptation consumes while bounding its cost; the
+    sampling phase still doubles to the adaptive cap above.
     """
     dtype = theta0.dtype
     H = theta0.shape[-1]
@@ -380,9 +390,17 @@ def nuts_sample(
         )
         return (th, u1, g1), acc, div, depth, n_lf
 
+    wcap = (
+        None
+        if warmup_max_depth is None
+        else jnp.asarray(min(warmup_max_depth, max_depth), jnp.int32)
+    )
+
     def warm_kernel(wstate, key, eps, inv_mass):
         state, hist = wstate
-        state, acc, _, depth, _ = kernel(state, key, eps, inv_mass)
+        state, acc, _, depth, _ = kernel(
+            state, key, eps, inv_mass, depth_cap=wcap
+        )
         hist = hist.at[jnp.clip(depth, 0, max_depth)].add(1)
         return (state, hist), acc
 

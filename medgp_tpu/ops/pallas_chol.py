@@ -88,18 +88,35 @@ def pallas_chol_supported(n: int) -> bool:
 
 
 def _vmem_limit() -> int:
-    """Scoped-VMEM cap for the kernels (bytes); MEDGP_CHOL_VMEM overrides."""
-    return int(os.environ.get("MEDGP_CHOL_VMEM", str(64 * 1024 * 1024)))
+    """Scoped-VMEM cap for the kernels (bytes); MEDGP_CHOL_VMEM overrides.
+
+    100 MB (of the 128 MiB physical VMEM on v4/v5e/v5p) — raised from the
+    64 MB Mosaic default in round 5 to admit BT=16 at n=512, measured
+    stable and fastest on the v5e (tools/chol_bt_sweep.py)."""
+    return int(os.environ.get("MEDGP_CHOL_VMEM", str(100 * 1024 * 1024)))
 
 
 def _batch_tile(n: int) -> int:
     # (BT, n, n) K-in and L-out windows double-buffer across grid steps:
     # 4 x BT x n^2 x 4B must fit the scoped-VMEM cap. MEDGP_CHOL_BT
-    # overrides for tuning (bt8 measured best at n=512 on v5e).
+    # overrides for tuning. Round-5 sweep at n=512 on the v5e
+    # (tools/chol_bt_sweep.py): BT=16 @ 100 MB VMEM beats BT=8 @ 64 MB by
+    # 5% standalone and 6.7% in the composed objective+grad chain — the
+    # serial 32-column factor steps amortize over the batch tile.
     env = os.environ.get("MEDGP_CHOL_BT")
     if env:
         return max(1, int(env))
-    return max(1, min(8, (8 * 1024 * 1024) // (n * n * 4)))
+    return max(1, min(16, (16 * 1024 * 1024) // (n * n * 4)))
+
+
+def _tile_for(n: int, B: int) -> int:
+    """Batch tile clipped to the pow-2 roundup of the actual batch, so a
+    small batch (sampler buckets, tests) is never padded past its own
+    rounded size just to fill a 16-wide tile."""
+    b2 = 1
+    while b2 < B:
+        b2 *= 2
+    return max(1, min(_batch_tile(n), b2))
 
 
 def _bdot(a, b, tb=False, prec=None):
@@ -283,7 +300,7 @@ def _chol_solve_batched(K, noise_scaled, y):
     linvd: (B, n/128, 128, 128) diagonal-superblock inverses of L (consumed
     by tri_inv on the backward pass)."""
     B, n, _ = K.shape
-    BT = _batch_tile(n)
+    BT = _tile_for(n, B)
     Bp = -(-B // BT) * BT
     if Bp != B:
         pad = Bp - B
@@ -353,7 +370,7 @@ def _tri_inv_kernel(n, L_ref, linvd_ref, X_ref):
 
 def _tri_inv_batched(L, linvd):
     B, n, _ = L.shape
-    BT = _batch_tile(n)
+    BT = _tile_for(n, B)
     Bp = -(-B // BT) * BT
     NB = n // _SB
     if Bp != B:
@@ -486,7 +503,7 @@ def _qmat_kernel(n, L_ref, linvd_ref, a_ref, c_ref, out_ref, X_ref):
 
 def _qmat_batched(L, linvd, alpha, coef):
     B, n, _ = L.shape
-    BT = max(1, _batch_tile(n) // 2)   # X scratch adds a third (BT,n,n)
+    BT = max(1, _tile_for(n, B) // 2)  # X scratch adds a third (BT,n,n)
     Bp = -(-B // BT) * BT
     NB = n // _SB
     if Bp != B:

@@ -152,3 +152,16 @@ def test_jitter_retry_pallas_path(rng, monkeypatch):
     assert bool(res.ok)
     assert int(res.mult) > 1  # escalation actually happened
     assert np.isfinite(float(v))
+
+
+def test_tile_clipped_to_batch_pow2():
+    """Round-5: BT=16 default must not pad a small batch past its own
+    pow-2 roundup (sampler buckets run at B<=16; tests at B=2)."""
+    from medgp_tpu.ops.pallas_chol import _batch_tile, _tile_for
+
+    assert _batch_tile(512) == 16
+    assert _tile_for(512, 8) == 8
+    assert _tile_for(512, 2) == 2
+    assert _tile_for(512, 12) == 16   # Bp is 16 either way; bigger tile
+    assert _tile_for(512, 128) == 16
+    assert _tile_for(1024, 128) == 4  # VMEM formula unchanged at n=1024

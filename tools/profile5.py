@@ -19,6 +19,8 @@ where-selects, y_eff/noise multiplies, logdet/quad reductions, scan plumbing).
 Run detached on the chip:
   setsid nohup python tools/profile5.py > /tmp/profile5.log 2>&1 &
 Optional env: PROF_B, PROF_N, MEDGP_CHOL_BT, MEDGP_GRAM_BT.
+(For the composed chain alone under different kernel-tile env settings,
+use tools/obj_chain_time.py — much faster turnaround.)
 """
 
 import functools
