@@ -98,10 +98,11 @@ def _gbt(n: int, Q: int) -> int:
 
 def _vmem_params(interpret):
     if _HAS_PLTPU and not interpret:
+        limit = int(
+            os.environ.get("MEDGP_GRAM_VMEM", str(64 * 1024 * 1024))
+        )
         return dict(
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024
-            )
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit)
         )
     return {}
 
