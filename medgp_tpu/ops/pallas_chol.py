@@ -67,7 +67,14 @@ except ImportError:  # pragma: no cover
 
 _BS = 32          # inner column block (VPU factor loop)
 _SB = 128         # superblock (MXU panel/trailing granularity)
-_MAX_N = 1024     # above this a (BT, n, n) tile no longer fits VMEM
+# Crossover bound, MEASURED (tools/chol_n2048_check.py, v5e): at n=2048
+# the 100 MB VMEM cap admits only BT=1, the serial 32-column factor loop
+# loses its batch amortization, and the kernel runs 2.3x SLOWER than
+# XLA's blocked cholesky (1,297 vs 558 ms per 4-batch; bit-correct,
+# rel err ~4e-7). XLA's While expansion is only pathological at small n
+# where per-step dispatch dominates — so the kernel path stays capped at
+# 1024 on purpose, not for VMEM reasons.
+_MAX_N = 1024
 
 
 def _use_interpret() -> bool:
@@ -83,8 +90,15 @@ def use_pallas_chol() -> bool:
 
 
 def pallas_chol_supported(n: int) -> bool:
-    # 128-lane / superblock alignment; VMEM bound for the batch tile
-    return n >= _SB and n % _SB == 0 and n <= _MAX_N
+    # 128-lane / superblock alignment, plus the VMEM bound at BT=1:
+    # double-buffered K-in/L-out windows (4 n^2 f32) with headroom for
+    # the qmat kernel's extra scratch window (6 n^2 f32 total).
+    return (
+        n >= _SB
+        and n % _SB == 0
+        and n <= _MAX_N
+        and 6 * n * n * 4 <= _vmem_limit()
+    )
 
 
 def _vmem_limit() -> int:

@@ -28,8 +28,18 @@ def test_supported_boundaries():
     assert pallas_chol_supported(384)
     assert pallas_chol_supported(512)
     assert pallas_chol_supported(1024)
+    # n=2048 fits the 100 MB VMEM cap at BT=1 but is measured 2.3x
+    # slower than XLA's blocked cholesky there (BT=1 loses the batch
+    # amortization of the serial column loop) — deliberately unsupported
+    # (tools/chol_n2048_check.py).
     for bad in (0, 64, 100, 192, 193, 2048):
         assert not pallas_chol_supported(bad), bad
+
+
+def test_supported_respects_vmem_env(monkeypatch):
+    monkeypatch.setenv("MEDGP_CHOL_VMEM", str(16 * 1024 * 1024))
+    assert pallas_chol_supported(512)
+    assert not pallas_chol_supported(1024)
 
 
 def test_chol_solve_matches_numpy(rng):
